@@ -1,0 +1,234 @@
+"""Runtime configuration for the tracking engine.
+
+Replaces the reference's two-tier config (compile-time #defines in
+psn_where/PSNWhere_Defines.h:7-86 plus the partially-consumed parameters.txt,
+psn_where/helpers/ParameterParser.cpp:19-67) with one set of runtime
+dataclasses.  Most numeric defaults mirror the reference's tuning constants
+(cited per field); crucially, the camera count is a *runtime* value here,
+whereas the reference bakes NUM_CAM in at compile time
+(psn_where/PSNWhere_Defines.h:36-59).
+
+All length units are millimetres, matching the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Tracker2DConfig:
+    """Per-camera 2D tracklet generation (ref psn_where/PSNWhere_Tracker2D.cpp:10-42)."""
+
+    # capacities (TPU static shapes; the reference uses unbounded containers)
+    max_detections: int = 32          # per camera per frame
+    max_trackers: int = 64            # live 2D trackers per camera
+    max_features: int = 64            # ref caps at 100 (PSN_2D_FEATURE_MAX_NUM_TRACK,
+    #                                   Tracker2D.cpp:13); 64 keeps lanes aligned
+    min_features: int = 4             # PSN_2D_FEATURE_MIN_NUM_TRACK Tracker2D.cpp:12
+    backtrack_interval: int = 4       # PSN_2D_BACKTRACKING_INTERVAL Tracker2D.cpp:16
+    max_tracklet_length: int = 3      # PSN_2D_MAX_TRACKLET_LENGTH Tracker2D.cpp:10
+
+    # Lucas-Kanade
+    lk_window: int = 16               # fixed LK window (TPU-friendly; ref scales the
+    #                                   window with box width, Tracker2D.cpp:776-782)
+    lk_pyramid_levels: int = 3
+    lk_iterations: int = 10           # ref TermCriteria 20 iters/0.03 eps, Tracker2D.cpp:145
+    lk_eps: float = 0.03
+    feature_quality_level: float = 0.01
+
+    # validation gates
+    min_height_mm: float = 1400.0     # PSN_2D_MIN_HEIGHT Tracker2D.cpp:21
+    max_height_mm: float = 2300.0     # PSN_2D_MAX_HEIGHT Tracker2D.cpp:20
+    max_box_distance: float = 1.0     # PSN_2D_BOX_MAX_DISTANCE Tracker2D.cpp:22
+    max_detection_distance_mm: float = 600.0   # Tracker2D.cpp:23
+    max_height_difference_mm: float = 400.0    # Tracker2D.cpp:24
+    max_box_center_diff_ratio: float = 0.5     # Tracker2D.cpp:25
+    min_overlap_ratio: float = 0.3             # Tracker2D.cpp:26
+    min_flow_majority_ratio: float = 0.5       # Tracker2D.cpp:28
+
+    # LocalSearchKLT disparity voting (Tracker2D.cpp:452-454)
+    klt_min_movement: float = 0.1
+    klt_neighbor_window_ratio: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class Associator3DConfig:
+    """3D MHT association (ref psn_where/PSNWhere_Associator3D.cpp:18-99)."""
+
+    # optimisation window
+    proc_window_size: int = 10        # PROC_WINDOW_SIZE Associator3D.cpp:21
+    k_best_size: int = 50             # K_BEST_SIZE Associator3D.cpp:22
+    max_track_in_optimization: int = 2000   # Associator3D.cpp:23
+    max_track_in_unconfirmed_tree: int = 2  # Associator3D.cpp:24
+    num_frames_for_confirmation: int = 3    # Associator3D.cpp:25
+
+    # reconstruction
+    min_tracklet_length: int = 1      # Associator3D.cpp:29
+    max_tracklet_length: int = 15     # Associator3D.cpp:30
+    max_tracklet_distance: float = 2000.0  # MAX_TRACKLET_DISTANCE Associator3D.cpp:31
+    max_body_width: float = 2000.0    # MAX_BODY_WIDHT Associator3D.cpp:41
+    min_target_proximity: float = 200.0    # Associator3D.cpp:44
+    default_height: float = 1700.0    # Associator3D.cpp:46
+    detection_mode: str = "full_body"  # "full_body" (PETS) or "head"; ref
+    #                                    PSN_DETECTION_TYPE, Defines.h:37
+    consider_sensitivity: bool = False     # CONSIDER_SENSITIVITY Associator3D.cpp:48
+    max_sensitivity_error: float = 20.0    # Associator3D.cpp:32
+
+    # linking
+    min_linking_probability: float = 1.0e-6  # Associator3D.cpp:51
+    max_time_jump: int = 9            # MAX_TIME_JUMP Associator3D.cpp:52
+    max_moving_speed: float = 900.0   # mm/frame, Associator3D.cpp:90
+    min_moving_speed: float = 100.0   # Associator3D.cpp:91
+    dataset_frame_rate: float = 7.0   # Associator3D.cpp:88
+
+    # appearance
+    num_rgb_bins: int = 16            # NUM_BINS_RGB_HISTOGRAM Associator3D.cpp:95
+    cost_rgb_min_dist: float = 0.2    # Associator3D.cpp:55
+    cost_rgb_coef: float = 100.0      # Associator3D.cpp:56
+    cost_rgb_decay: float = 0.1       # Associator3D.cpp:57
+
+    # tracklet linking
+    cost_tracklet_link_min_dist: float = 1500.0  # Associator3D.cpp:58
+    cost_tracklet_link_coef: float = 0.1         # Associator3D.cpp:59
+    e_det: float = 4.0                # E_DET Associator3D.cpp:79
+    e_cal: float = 500.0              # E_CAL Associator3D.cpp:80
+
+    # detection likelihood
+    fp_rate: float = 0.05             # FP_RATE Associator3D.cpp:63
+    fn_rate: float = 0.1              # FN_RATE Associator3D.cpp:64
+    min_construct_probability: float = 0.01  # Associator3D.cpp:62
+
+    # enter/exit
+    enter_penalty_free_length: int = 2      # Associator3D.cpp:67
+    boundary_distance: float = 700.0        # Associator3D.cpp:68
+    p_en_max: float = 1.0e-3                # Associator3D.cpp:69
+    p_ex_max: float = 1.0e-6                # Associator3D.cpp:70
+    p_en_decay: float = 1.0e-3              # Associator3D.cpp:71
+    p_ex_decay_dist: float = 1.0e-3         # Associator3D.cpp:72
+    p_ex_decay_length: float = 1.0e-2       # Associator3D.cpp:73
+    cost_enter_max: float = 200.0           # Associator3D.cpp:74
+    cost_exit_max: float = 200.0            # Associator3D.cpp:75
+    max_outpoint: int = 3                   # Associator3D.cpp:76
+
+    # smoothing (ref PSNWhere_SGSmooth.h:15-16)
+    sg_span: int = 9
+    sg_degree: int = 1
+
+    # device batch capacities (TPU static shapes)
+    max_tracklets_per_cam: int = 64
+    max_new_measurements_per_cam: int = 32
+    max_tracks_device: int = 512      # padded track-block capacity on device
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched-replica BLS maximum-weight-clique solver
+    (ref psn_where/GraphSolver.cpp:526-553 + 986-1184)."""
+
+    num_replicas: int = 8             # parallel restarts (ref is one serial chain)
+    max_vertices: int = 256           # padded graph capacity per solve
+    min_iterations: int = 200         # BLS_MIN_ITERATION GraphSolver.cpp:530
+    max_iterations: int = 2000        # BLS_MAX_ITERATION GraphSolver.cpp:531
+    t_nonimprove: int = 10            # BLS_T GraphSolver.cpp:528
+    p0: float = 0.75                  # BLS_P0 GraphSolver.cpp:527
+    phi: int = 7                      # BLS_PHI (tabu tenure base) GraphSolver.cpp:529
+    l0_ratio: float = 0.01            # L0 = 0.01|V|, GraphSolver.cpp:542
+    lmax_ratio: float = 0.10          # Lmax = 0.10|V|, GraphSolver.cpp:543
+    alpha_r: float = 0.8              # GraphSolver.cpp:545
+    alpha_s: float = 0.8              # GraphSolver.cpp:544
+    solutions_per_replica: int = 16   # local-optima ring buffer per replica
+    seed: int = 0                     # deterministic (ref uses rand())
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """CLEAR-MOT evaluation (ref psn_where/Evaluator.cpp + Defines.h:82-86)."""
+
+    crop_zone: Tuple[float, float, float, float] = (
+        -14069.6, -14274.0, 4981.3, 1733.5)   # (xmin, ymin, xmax, ymax), Defines.h:82-85
+    crop_margin: float = 1000.0       # CROP_ZONE_MARGIN Defines.h:86; also the
+    #                                   CLEAR-MOT match radius (Evaluator.cpp:9,530)
+    deferred_windows: int = 11        # evaluators for deferred output 0..10
+    #                                   (Associator3D.cpp:282-286)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration."""
+
+    num_cameras: int = 4              # RUNTIME value (ref: compile-time NUM_CAM)
+    cam_ids: Optional[Tuple[int, ...]] = None   # dataset camera ids, e.g. (1, 5, 7)
+    image_width: int = 768            # PETS2009 frame size
+    image_height: int = 576
+    start_frame: int = 0
+    end_frame: int = 794
+
+    tracker2d: Tracker2DConfig = dataclasses.field(default_factory=Tracker2DConfig)
+    assoc3d: Associator3DConfig = dataclasses.field(default_factory=Associator3DConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    def resolved_cam_ids(self) -> Tuple[int, ...]:
+        if self.cam_ids is not None:
+            return tuple(self.cam_ids)
+        return tuple(range(self.num_cameras))
+
+    # ---- (de)serialisation -------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "EngineConfig":
+        raw = json.loads(text)
+
+        def build(cls, d):
+            names = {f.name for f in dataclasses.fields(cls)}
+            return cls(**{k: v for k, v in d.items() if k in names})
+
+        sub = {
+            "tracker2d": build(Tracker2DConfig, raw.pop("tracker2d", {})),
+            "assoc3d": build(Associator3DConfig, raw.pop("assoc3d", {})),
+            "solver": build(SolverConfig, raw.pop("solver", {})),
+            "eval": build(EvalConfig, raw.pop("eval", {})),
+        }
+        raw.pop("cam_ids", None) if raw.get("cam_ids") is None else None
+        names = {f.name for f in dataclasses.fields(EngineConfig)}
+        top = {k: v for k, v in raw.items() if k in names and k not in sub}
+        if isinstance(top.get("cam_ids"), list):
+            top["cam_ids"] = tuple(top["cam_ids"])
+        if isinstance(top.get("eval"), dict):
+            top.pop("eval")
+        return EngineConfig(**{**top, **sub})
+
+
+def parse_parameters_txt(text: str) -> dict:
+    """Parse the reference's key=value parameters.txt format
+    ('%' comment lines, comma-separated int arrays)
+    (ref psn_where/helpers/ParameterParser.cpp:19-67)."""
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("%"):
+            continue
+        if "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip()
+        if "," in value:
+            try:
+                out[key] = [int(v) for v in value.split(",") if v]
+                continue
+            except ValueError:
+                pass
+        for cast in (int, float):
+            try:
+                out[key] = cast(value)
+                break
+            except ValueError:
+                continue
+        else:
+            out[key] = value
+    return out

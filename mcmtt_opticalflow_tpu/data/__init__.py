@@ -1,0 +1,13 @@
+from mcmtt_opticalflow_tpu.data.synthetic import (  # noqa: F401
+    SyntheticScenario,
+    make_scenario,
+    ring_cameras,
+)
+from mcmtt_opticalflow_tpu.data.pets import (  # noqa: F401
+    read_detection_file,
+    write_detection_file,
+    read_ground_truth,
+    write_ground_truth,
+    read_tsai_xml,
+    read_tsai_dat,
+)

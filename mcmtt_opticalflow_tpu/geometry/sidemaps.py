@@ -1,0 +1,70 @@
+"""Per-camera calibration side-maps, computed on device.
+
+The reference *loads* two precomputed text matrices per camera
+(ProjectionSensitivity_View%03d.txt, DistanceFromBoundary_View%03d.txt,
+ref psn_where/PSNWhere.cpp:489-573 and PSNWhere_Associator3D.cpp:622-706) and
+never shows how they were produced.  Here we *compute* them from the Tsai
+model so the engine is self-contained:
+
+  * projection sensitivity:  mm of ground-plane motion per pixel of image
+    motion at each pixel — the local Jacobian norm of image_to_world at z=0.
+    Consumed by the cost model exactly where the reference samples its map
+    (ref Associator3D.cpp:843, 1413, 2001).
+  * distance from boundary:  for each pixel, the distance (mm, on the ground
+    plane) from its ground point to the camera's field-of-view boundary.
+    Consumed by the enter/exit probabilities (ref Associator3D.cpp:2267-2303).
+
+Maps are computed at a configurable stride and sampled with nearest-neighbour
+lookup, matching the reference's integer-pixel `.at<float>((int)y, (int)x)`
+access pattern.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera, image_to_world
+
+
+def _pixel_grid(width: int, height: int, stride: int):
+    us = np.arange(0, width, stride, dtype=np.float32)
+    vs = np.arange(0, height, stride, dtype=np.float32)
+    uu, vv = np.meshgrid(us, vs)               # [H', W']
+    return jnp.asarray(np.stack([uu, vv], -1))  # [H', W', 2]
+
+
+def projection_sensitivity_map(cam: TsaiCamera, width: int, height: int,
+                               stride: int = 4) -> jnp.ndarray:
+    """[H/stride, W/stride] float32 map of mm-per-pixel at ground height."""
+    uv = _pixel_grid(width, height, stride)
+    g0 = image_to_world(cam, uv, 0.0)[..., :2]
+    gu = image_to_world(cam, uv + jnp.asarray([1.0, 0.0]), 0.0)[..., :2]
+    gv = image_to_world(cam, uv + jnp.asarray([0.0, 1.0]), 0.0)[..., :2]
+    du = jnp.linalg.norm(gu - g0, axis=-1)
+    dv = jnp.linalg.norm(gv - g0, axis=-1)
+    sens = jnp.maximum(du, dv)
+    return jnp.nan_to_num(sens, nan=1e6, posinf=1e6)
+
+
+def distance_from_boundary_map(cam: TsaiCamera, width: int, height: int,
+                               stride: int = 4) -> jnp.ndarray:
+    """[H/stride, W/stride] float32 map: ground-plane mm from each pixel's
+    ground point to the FOV boundary (pixel distance to the image border
+    scaled by local sensitivity)."""
+    uv = _pixel_grid(width, height, stride)
+    u, v = uv[..., 0], uv[..., 1]
+    pix_dist = jnp.minimum(jnp.minimum(u, width - 1 - u),
+                           jnp.minimum(v, height - 1 - v))
+    sens = projection_sensitivity_map(cam, width, height, stride)
+    return pix_dist * sens
+
+
+def sample_map(map2d: jnp.ndarray, uv: jnp.ndarray, width: int, height: int,
+               stride: int = 4) -> jnp.ndarray:
+    """Nearest-neighbour sample of a strided side-map at pixel coords
+    uv [..., 2]; coordinates are clamped to the frame."""
+    h, w = map2d.shape
+    iu = jnp.clip((uv[..., 0] / stride).astype(jnp.int32), 0, w - 1)
+    iv = jnp.clip((uv[..., 1] / stride).astype(jnp.int32), 0, h - 1)
+    return map2d[iv, iu]

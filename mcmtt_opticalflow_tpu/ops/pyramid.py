@@ -1,0 +1,57 @@
+"""Gaussian image pyramids (batched, XLA-fused convolutions).
+
+Feeds the pyramidal Lucas-Kanade tracker; replaces OpenCV's internal
+pyramid construction inside cv::calcOpticalFlowPyrLK
+(ref psn_where/PSNWhere_Tracker2D.cpp:776, 871).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+# 5-tap binomial kernel (OpenCV pyrDown's separable Gaussian)
+_K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_K3 = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
+
+
+def _sep_conv(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D convolution with reflect padding. img: [..., H, W]."""
+    pad = (k.shape[0] - 1) // 2
+    shape = img.shape
+    x = img.reshape((-1, 1) + shape[-2:])               # [B, 1, H, W]
+    kv = k.reshape(1, 1, -1, 1)
+    kh = k.reshape(1, 1, 1, -1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="edge")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    return x.reshape(shape)
+
+
+def gaussian_blur_3x3(img: jnp.ndarray) -> jnp.ndarray:
+    return _sep_conv(img, _K3)
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """Blur + 2x decimation. img: [..., H, W] with even H, W."""
+    return _sep_conv(img, _K5)[..., ::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """List of `levels` images, finest first. img: [..., H, W] float32.
+    H and W must be divisible by 2**(levels-1)."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def image_gradients(img: jnp.ndarray):
+    """Central-difference gradients (Scharr-free, matches LK's needs).
+    img: [..., H, W] -> (ix, iy) same shape."""
+    ix = 0.5 * (jnp.roll(img, -1, axis=-1) - jnp.roll(img, 1, axis=-1))
+    iy = 0.5 * (jnp.roll(img, -1, axis=-2) - jnp.roll(img, 1, axis=-2))
+    return ix, iy

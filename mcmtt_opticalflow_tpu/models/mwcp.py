@@ -1,0 +1,317 @@
+"""Batched Breakout Local Search for the maximum-weight clique problem.
+
+The reference selects each frame's K-best global hypotheses by running a
+*serial* BLS chain per hypothesis over a track-compatibility graph
+(hj::CGraphSolver, psn_where/GraphSolver.cpp:532-669), parallelised only by
+OpenMP across hypotheses (ref PSNWhere_Associator3D.cpp:2676-2684).
+
+TPU redesign: R independent replicas per hypothesis run *in lockstep* as one
+vectorised while-loop —
+
+  * membership is a [V] bool mask; neighbour counts are a single
+    adjacency matvec that lands on the MXU;
+  * the PA (insert) and OM (swap) move sets of the reference
+    (GraphSolver.h:216-219) are boolean masks derived from the counts;
+  * swap partners resolve via a complement-adjacency matvec;
+  * the adaptive perturbation (directed vs random, strength L escalating
+    L0 -> Lmax, tabu tenure Phi + rand*|OM|; ref GraphSolver.cpp:1173-1184,
+    527-531, 1658-1661) runs one move per iteration with per-replica PRNG
+    streams (deterministic, replacing rand());
+  * every distinct local optimum lands in a per-replica ring buffer —
+    preserving the reference's "collect all local optima, dedup, sort"
+    K-best semantics (GraphSolver.cpp:967-975, 644-660).
+
+Hypotheses batch over the leading axis with vmap, so the whole K-hypothesis
+formation step is one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcmtt_opticalflow_tpu.config import SolverConfig
+
+NEG = -1e30
+
+
+class MwcpResult(NamedTuple):
+    best_mask: jnp.ndarray      # [R, V] bool, per-replica best clique
+    best_score: jnp.ndarray     # [R]
+    sol_masks: jnp.ndarray      # [R, S, V] bool local-optima ring buffers
+    sol_scores: jnp.ndarray     # [R, S] (NEG = empty slot)
+
+
+def _greedy_initial(weights, adj, valid, order):
+    """Greedy weight-descending clique construction
+    (ref BLS_GenerateInitialSolution, GraphSolver.cpp:986-1090)."""
+    v = weights.shape[0]
+
+    def body(i, in_c):
+        idx = order[i]
+        cnt = jnp.sum(adj[idx] & in_c)
+        can = (valid[idx] & (weights[idx] >= 0.0)
+               & (cnt == jnp.sum(in_c)))
+        return in_c.at[idx].set(in_c[idx] | can)
+
+    return jax.lax.fori_loop(0, v, body, jnp.zeros((v,), bool))
+
+
+def _move_sets(in_c, adj, valid):
+    """cnt, csize, PA mask, OM mask (ref GraphSolver.h:216-219)."""
+    cnt = jnp.sum(adj & in_c[None, :], axis=-1)
+    csize = jnp.sum(in_c)
+    pa = valid & ~in_c & (cnt == csize)
+    om = valid & ~in_c & (cnt == csize - 1) & (csize > 0)
+    return cnt, csize, pa, om
+
+
+def _gumbel_pick(key, mask):
+    """Uniform random index among True entries (NEG-masked gumbel argmax)."""
+    g = jax.random.gumbel(key, mask.shape)
+    return jnp.argmax(jnp.where(mask, g, NEG)), jnp.any(mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_mwcp(weights: jnp.ndarray,
+               adj: jnp.ndarray,
+               valid: jnp.ndarray,
+               init_mask: jnp.ndarray,
+               key: jnp.ndarray,
+               cfg: SolverConfig,
+               iters: int | None = None) -> MwcpResult:
+    """Solve one max-weight-clique instance with R lockstep BLS replicas.
+
+    Args:
+      weights:   [V] vertex weights (track log-likelihoods).
+      adj:       [V, V] bool symmetric compatibility, diag False.
+      valid:     [V] bool vertex mask.
+      init_mask: [V] bool warm-start solution (all False = cold start);
+                 replica 0 starts here when it is a valid clique
+                 (ref BLS_SetInitialSolutions, GraphSolver.cpp:820-956).
+      key:       PRNG key.
+
+    vmap over a leading axis for K hypotheses.
+    """
+    v = weights.shape[0]
+    r = cfg.num_replicas
+    s = cfg.solutions_per_replica
+    if iters is None:
+        iters = cfg.max_iterations
+    l0 = jnp.maximum(cfg.l0_ratio * jnp.sum(valid), 1.0)
+    lmax = jnp.maximum(cfg.lmax_ratio * jnp.sum(valid), 2.0)
+
+    # ---- initial solutions per replica -------------------------------------
+    order = jnp.argsort(-jnp.where(valid, weights, NEG))
+    greedy = _greedy_initial(weights, adj, valid, order)
+
+    def replica_init(i, k):
+        # replica 0: warm start if init_mask is a valid clique; others:
+        # greedy from randomly perturbed weight order
+        cnt = jnp.sum(adj & init_mask[None, :], axis=-1)
+        is_clique = jnp.all(~init_mask | (cnt == jnp.sum(init_mask) - 1)) \
+            & jnp.any(init_mask)
+        noise = jax.random.uniform(k, (v,)) * jnp.where(i == 1, 0.0, 1.0) \
+            * jnp.maximum(jnp.max(jnp.abs(weights)), 1.0) * 0.3
+        ordr = jnp.argsort(-jnp.where(valid, weights + noise, NEG))
+        g = _greedy_initial(weights, adj, valid, ordr)
+        return jnp.where((i == 0) & is_clique, init_mask,
+                         jnp.where(i == 1, greedy, g))
+
+    keys = jax.random.split(key, r + 1)
+    in_c0 = jax.vmap(replica_init)(jnp.arange(r), keys[:r])     # [R, V]
+
+    score0 = jnp.sum(jnp.where(in_c0, weights[None, :], 0.0), -1)
+
+    class _S(NamedTuple):
+        in_c: jnp.ndarray        # [R, V]
+        tabu: jnp.ndarray        # [R, V] int32 iteration stamp
+        fbest: jnp.ndarray       # [R]
+        best: jnp.ndarray        # [R, V]
+        cp: jnp.ndarray          # [R, V] previous local optimum
+        w: jnp.ndarray           # [R] non-improving counter
+        l_left: jnp.ndarray      # [R] perturbation moves remaining
+        use_directed: jnp.ndarray  # [R] bool, current perturbation flavour
+        sol_masks: jnp.ndarray   # [R, S, V]
+        sol_scores: jnp.ndarray  # [R, S]
+        sol_next: jnp.ndarray    # [R] ring position
+        it: jnp.ndarray          # scalar
+
+    def record(sol_masks, sol_scores, sol_next, mask, score, do):
+        """Insert a local optimum unless empty/negative/duplicate
+        (ref BLS_InsertSolution + CheckSolutionExistance,
+        GraphSolver.cpp:686-701, 967-975)."""
+        dup = jnp.any((jnp.abs(sol_scores - score) < 1e-5)
+                      & jnp.all(sol_masks == mask[None, :], axis=-1))
+        ok = do & ~dup & (score > 0.0) & jnp.any(mask)
+        slot = sol_next % s
+        sol_masks = jnp.where(ok, sol_masks.at[slot].set(mask), sol_masks)
+        sol_scores = jnp.where(ok, sol_scores.at[slot].set(score), sol_scores)
+        return sol_masks, sol_scores, sol_next + ok.astype(jnp.int32)
+
+    def one_replica_step(st_in_c, st_tabu, st_fbest, st_best, st_cp, st_w,
+                         st_l, st_dir, st_sm, st_ss, st_sn, it, k):
+        cnt, csize, pa, om = _move_sets(st_in_c, adj, valid)
+        fc = jnp.sum(jnp.where(st_in_c, weights, 0.0))
+
+        # swap partner weights via complement matvec
+        in_w = jnp.where(st_in_c, weights, 0.0)
+        w_partner = jnp.sum(jnp.where(~adj & st_in_c[None, :],
+                                      weights[None, :], 0.0), -1)
+        gain_ins = jnp.where(pa, weights, NEG)
+        gain_swp = jnp.where(om, weights - w_partner, NEG)
+
+        bi = jnp.argmax(gain_ins)
+        bs = jnp.argmax(gain_swp)
+        gi, gs = gain_ins[bi], gain_swp[bs]
+        use_swap = gs > gi
+        gain = jnp.maximum(gi, gs)
+        mv_v = jnp.where(use_swap, bs, bi)
+        partner = jnp.argmax(st_in_c & ~adj[mv_v])
+        improving = gain > 1e-9
+
+        searching = st_l <= 0
+
+        # ---- local-search move -------------------------------------------
+        ls_in_c = st_in_c.at[mv_v].set(True)
+        ls_in_c = jnp.where(use_swap, ls_in_c.at[partner].set(False), ls_in_c)
+        do_ls = searching & improving
+
+        # ---- local optimum event -----------------------------------------
+        at_opt = searching & ~improving
+        better = fc > st_fbest
+        new_fbest = jnp.where(at_opt & better, fc, st_fbest)
+        new_best = jnp.where(at_opt & better, st_in_c, st_best)
+        new_w = jnp.where(at_opt, jnp.where(better, 0, st_w + 1), st_w)
+
+        same_as_cp = jnp.all(st_in_c == st_cp)
+        esc = new_w > cfg.t_nonimprove
+        l_new = jnp.where(esc, lmax,
+                          jnp.where(same_as_cp, st_l + 1.0, l0))
+        new_w = jnp.where(at_opt & esc, 0, new_w)
+        st_sm, st_ss, st_sn = record(st_sm, st_ss, st_sn, st_in_c, fc,
+                                     at_opt & ~same_as_cp & ~esc)
+        new_cp = jnp.where(at_opt, st_in_c, st_cp)
+
+        # perturbation flavour (ref BLS_Perturbation, GraphSolver.cpp:1173-1184)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        p = jnp.where(st_w == 0, 0.0,
+                      jnp.minimum(jnp.exp(-st_w / cfg.t_nonimprove), cfg.p0))
+        directed = jax.random.uniform(k1) < p
+        new_dir = jnp.where(at_opt, directed, st_dir)
+        new_l = jnp.where(at_opt, l_new, st_l)
+
+        # ---- perturbation move -------------------------------------------
+        perturbing = (st_l > 0) | at_opt
+        tabu_ok = st_tabu <= it
+        # directed: uniform among {PA insert (tabu ok)} U {OM swap (tabu ok)}
+        # U {C removal}
+        dir_mask = (pa & tabu_ok) | (om & tabu_ok) | st_in_c
+        dv, dany = _gumbel_pick(k2, dir_mask)
+        d_is_rem = st_in_c[dv]
+        d_is_swap = om[dv]
+        d_partner = jnp.argmax(st_in_c & ~adj[dv])
+        pert_dir = jnp.where(d_is_rem, st_in_c.at[dv].set(False),
+                             st_in_c.at[dv].set(True))
+        pert_dir = jnp.where(d_is_swap & ~d_is_rem,
+                             pert_dir.at[d_partner].set(False), pert_dir)
+        # tabu stamp on removed vertices (ref :1658-1661)
+        om_count = jnp.sum(om)
+        tenure = cfg.phi + jax.random.randint(
+            k3, (), 0, jnp.maximum(om_count, 1))
+        removed_dir = jnp.where(d_is_rem, dv, jnp.where(d_is_swap, d_partner, -1))
+
+        # random: uniform among OC with (tabu ok | strong neighbourhood),
+        # repair by removing non-neighbours (M4, ref GraphSolver.cpp:1281-1338)
+        alpha = jnp.where(st_w == 0, cfg.alpha_s, cfg.alpha_r)
+        nbr_w_in_c = jnp.sum(jnp.where(adj & st_in_c[None, :],
+                                       weights[None, :], 0.0), -1)
+        rnd_mask = valid & ~st_in_c & (tabu_ok | (nbr_w_in_c >= alpha * fc))
+        rv, rany = _gumbel_pick(k4, rnd_mask)
+        pert_rnd = (st_in_c & adj[rv]).at[rv].set(True)
+
+        use_dir_now = jnp.where(at_opt, directed, st_dir)
+        pert = jnp.where(use_dir_now & dany, pert_dir,
+                         jnp.where(rany, pert_rnd, st_in_c))
+        do_pert = perturbing
+
+        # ---- combine ------------------------------------------------------
+        out_in_c = jnp.where(do_ls, ls_in_c, jnp.where(do_pert, pert, st_in_c))
+        # tabu update: stamp vertices that left the solution
+        left = st_in_c & ~out_in_c
+        new_tabu = jnp.where(left, it + tenure, st_tabu)
+        out_l = jnp.where(do_ls, st_l, jnp.maximum(new_l - 1.0, 0.0))
+        return (out_in_c, new_tabu, new_fbest, new_best, new_cp, new_w,
+                out_l, new_dir, st_sm, st_ss, st_sn)
+
+    def step(st: _S) -> _S:
+        ks = jax.random.split(jax.random.fold_in(keys[r], st.it), r)
+        outs = jax.vmap(one_replica_step)(
+            st.in_c, st.tabu, st.fbest, st.best, st.cp, st.w, st.l_left,
+            st.use_directed, st.sol_masks, st.sol_scores, st.sol_next,
+            jnp.broadcast_to(st.it, (r,)), ks)
+        return _S(*outs, st.it + 1)
+
+    st0 = _S(
+        in_c=in_c0,
+        tabu=jnp.zeros((r, v), jnp.int32),
+        fbest=score0,
+        best=in_c0,
+        cp=in_c0,
+        w=jnp.zeros((r,), jnp.int32),
+        l_left=jnp.zeros((r,)),
+        use_directed=jnp.zeros((r,), bool),
+        sol_masks=jnp.zeros((r, s, v), bool),
+        sol_scores=jnp.full((r, s), NEG),
+        sol_next=jnp.zeros((r,), jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+    )
+    # seed ring buffers with the initial solutions
+    sm, ss, sn = jax.vmap(
+        lambda m, sc, a, b, c: record(a, b, c, m, sc, jnp.asarray(True)))(
+        in_c0, score0, st0.sol_masks, st0.sol_scores, st0.sol_next)
+    st0 = st0._replace(sol_masks=sm, sol_scores=ss, sol_next=sn)
+
+    st = jax.lax.while_loop(lambda s_: s_.it < iters, step, st0)
+
+    # fold the final bests into the ring buffers
+    sm, ss, sn = jax.vmap(
+        lambda m, sc, a, b, c: record(a, b, c, m, sc, jnp.asarray(True)))(
+        st.best, st.fbest, st.sol_masks, st.sol_scores, st.sol_next)
+    return MwcpResult(best_mask=st.best, best_score=st.fbest,
+                      sol_masks=sm, sol_scores=ss)
+
+
+solve_mwcp_batch = jax.vmap(solve_mwcp,
+                            in_axes=(0, 0, 0, 0, 0, None, None))
+
+
+def collect_k_best(result: MwcpResult, k: int):
+    """Host-side: merge all replicas' local optima, dedup by (score, mask),
+    sort by score descending, return top-k (mask, score) pairs — the
+    reference's K-best list semantics (ref GraphSolver.cpp:653-660 +
+    Hypothesis_BranchHypotheses dedup, Associator3D.cpp:2797-2828)."""
+    import numpy as np
+
+    masks = np.asarray(result.sol_masks).reshape(-1, result.sol_masks.shape[-1])
+    scores = np.asarray(result.sol_scores).reshape(-1)
+    keep = scores > NEG / 2
+    masks, scores = masks[keep], scores[keep]
+    order = np.argsort(-scores)
+    out_masks, out_scores = [], []
+    for i in order:
+        dup = False
+        for j, sc in enumerate(out_scores):
+            if abs(sc - scores[i]) < 1e-5 and np.array_equal(out_masks[j],
+                                                             masks[i]):
+                dup = True
+                break
+        if not dup:
+            out_masks.append(masks[i])
+            out_scores.append(float(scores[i]))
+            if len(out_masks) >= k:
+                break
+    return out_masks, out_scores

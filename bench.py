@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark.
+
+Runs the full pipeline (camera-batched LK 2D tracking -> 3D MHT association
+-> K-best hypothesis solve) on a synthetic PETS-like 4-camera scenario at
+768x576 and reports frames/s.
+
+The reference publishes no throughput numbers (BASELINE.md); its dataset
+runs at 7 fps (psn_where/PSNWhere_Associator3D.cpp:88), so vs_baseline here
+is real-time factor: fps / 7.0.  Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    from mcmtt_opticalflow_tpu.config import (EngineConfig, Tracker2DConfig,
+                                              SolverConfig)
+    from mcmtt_opticalflow_tpu.data import make_scenario
+    from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+
+    sc = make_scenario(num_cameras=4, num_frames=num_frames + 4,
+                       num_people=6, image_size=(768, 576), arena=6000.0,
+                       seed=0)
+    cfg = EngineConfig(
+        num_cameras=4, image_width=768, image_height=576,
+        tracker2d=Tracker2DConfig(),
+        solver=SolverConfig(num_replicas=8, max_vertices=256,
+                            max_iterations=500),
+    )
+    eng = TrackingEngine(cfg, sc.cameras)
+
+    # pre-render frames so rendering cost stays out of the measurement
+    frames = [np.stack(sc.frames(t)) for t in range(num_frames + 4)]
+
+    # warmup (compilation)
+    for t in range(4):
+        eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
+
+    t0 = time.perf_counter()
+    for t in range(4, num_frames + 4):
+        eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
+    elapsed = time.perf_counter() - t0
+
+    fps = num_frames / elapsed
+    print(json.dumps({
+        "metric": "end_to_end_frames_per_sec_4cam_768x576",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 7.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1147 @@
+"""Cross-camera 3D MHT association — the TPU redesign of the reference's
+CPSNWhere_Associator3D (psn_where/PSNWhere_Associator3D.cpp, ~5.2 kLoC).
+
+Architecture: *host enumerates, device scores*.
+
+  host   — tracklet registry, track trees, combination enumeration,
+           hypothesis lists, pruning walks (variable topology);
+  device — every hot loop as one batched call per frame:
+             * tracklet ingest (ground points, back-projection lines,
+               sensitivities, RGB histograms)          [per camera, vmapped]
+             * cross-camera associability gating        (ref :1233-1268)
+             * window smoothing + cost model for ALL track updates,
+               branches and seeds in a single fused pass (ref :1379-2242)
+             * track-pair compatibility matrix          (ref :2411-2503)
+             * K-hypothesis batched-replica BLS clique solve
+                                                        (ref :2663-2834)
+
+Per-frame step order mirrors the reference's Run (ref :431-533).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmtt_opticalflow_tpu.config import EngineConfig
+from mcmtt_opticalflow_tpu.geometry.tsai import (
+    TsaiCamera, stack_cameras, image_to_world, world_to_image)
+from mcmtt_opticalflow_tpu.geometry.triangulation import (
+    triangulate_two_lines, segments_intersect)
+from mcmtt_opticalflow_tpu.geometry.sidemaps import (
+    projection_sensitivity_map, distance_from_boundary_map, sample_map)
+from mcmtt_opticalflow_tpu.models.costs import (
+    score_track_windows, link_probability, enter_probability, exit_cost,
+    reconstruction_probability)
+from mcmtt_opticalflow_tpu.models.mwcp import solve_mwcp, collect_k_best
+from mcmtt_opticalflow_tpu.models.trees import (
+    Track, TrackRegistry, Tracklet)
+from mcmtt_opticalflow_tpu.ops.histogram import rgb_histogram, rgb_cost
+from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
+
+_MAP_STRIDE = 4
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    """Round up to a power of two so device programs compile per bucket
+    instead of per exact batch size."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class Hypothesis:
+    """A global hypothesis (ref stGlobalHypothesis,
+    PSNWhere_Associator3D.h:101-109)."""
+
+    selected: List[int]
+    related: List[int]
+    log_likelihood: float
+    probability: float = 0.0
+    valid: bool = True
+
+
+@dataclasses.dataclass
+class Track3DResult:
+    frame_idx: int
+    ids: List[int]                    # stable ids (tree ids) per object
+    track_ids: List[int]
+    points: np.ndarray                # [K, 3] smoothed positions
+    processing_time: float = 0.0
+
+
+class Associator3D:
+    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera]):
+        self.cfg = cfg
+        self.acfg = cfg.assoc3d
+        self.num_cams = len(cameras)
+        self.cameras = list(cameras)
+        self.cams = stack_cameras(cameras)
+
+        w, h = cfg.image_width, cfg.image_height
+        self.sens_maps = [np.asarray(projection_sensitivity_map(
+            c, w, h, _MAP_STRIDE)) for c in cameras]
+        self.bound_maps = [np.asarray(distance_from_boundary_map(
+            c, w, h, _MAP_STRIDE)) for c in cameras]
+
+        self.registry = TrackRegistry()
+        self.tracklets: List[Dict[int, Tracklet]] = [
+            {} for _ in range(self.num_cams)]
+        self.active_tracklets: List[List[int]] = [
+            [] for _ in range(self.num_cams)]
+        self.new_measurements: List[List[int]] = [
+            [] for _ in range(self.num_cams)]
+
+        self.active_tracks: List[int] = []
+        self.paused_tracks: List[int] = []
+        self.tracks_in_window: List[int] = []
+        self.prev_hypotheses: List[Hypothesis] = []
+        self.best_solution: List[int] = []
+        self.frame_idx = -1
+        self.num_frames_proc = 0
+        self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
+
+        # window capacity for device scoring: covers re-smoothing reach
+        self.win = max(2 * self.acfg.sg_span + 2,
+                       self.acfg.proc_window_size + self.acfg.sg_span)
+
+        self._build_device_fns()
+
+    # ------------------------------------------------------------------
+    # device programs
+    # ------------------------------------------------------------------
+    def _build_device_fns(self):
+        cams = self.cams
+        acfg = self.acfg
+
+        @jax.jit
+        def ingest(boxes, mask, rgb):
+            """Per-camera tracklet geometry + appearance.
+            boxes [C, T, 4], rgb [C, H, W, 3]."""
+            def per_cam(cam, bx, img):
+                bottom = jnp.stack(
+                    [bx[:, 0] + jnp.ceil(bx[:, 2] / 2.0),
+                     bx[:, 1] + bx[:, 3]], -1)
+                loc = image_to_world(cam, bottom, 0.0)
+                top = image_to_world(cam, bottom, 2000.0)
+                hist = rgb_histogram(img, bx, acfg.num_rgb_bins)
+                return loc, top, bottom, hist
+            locs, tops, bottoms, hists = jax.vmap(per_cam)(cams, boxes, rgb)
+            return locs, tops, bottoms, hists
+
+        self._ingest = ingest
+
+        @jax.jit
+        def pair_distance(top1, bot1, top2, bot2):
+            """Mean line-to-point reconstruction distance for all pairs of
+            back-projection lines: [A, 3] x [B, 3] -> [A, B]
+            (the 2-line case of ref NViewPointReconstruction :930-982,
+            where the LS point is the common-perpendicular midpoint and the
+            mean distance is half the line gap)."""
+            _, gap = triangulate_two_lines(
+                top1[:, None], bot1[:, None], top2[None, :], bot2[None, :])
+            return 0.5 * gap
+
+        self._pair_distance = pair_distance
+
+        @functools.partial(jax.jit, static_argnames=())
+        def score_windows(points, raw_points, raw_mask, max_error, lengths):
+            return score_track_windows(points, raw_points, raw_mask,
+                                       max_error, lengths, cams, acfg)
+
+        self._score_windows = score_windows
+
+        @jax.jit
+        def compat_matrix(tree_ids, tids, t_start, t_end, win_pts, win_t0,
+                          win_len, valid):
+            """[N, N] bool COMPATIBILITY (edge) matrix
+            (ref CheckIncompatibility, Associator3D.cpp:2411-2503)."""
+            n = tree_ids.shape[0]
+            same_tree = tree_ids[:, None] == tree_ids[None, :]
+            # shared tracklet id in any camera
+            a = tids[:, None, :, :, None]          # [N, 1, C, K, 1]
+            b = tids[None, :, :, None, :]          # [1, N, C, 1, K]
+            shared = jnp.any((a == b) & (a >= 0), axis=(2, 3, 4))
+            incompat = same_tree | shared
+
+            # proximity / crossing over the overlapping window
+            w = win_pts.shape[1]
+            ts = jnp.maximum(t_start[:, None], t_start[None, :])
+            te = jnp.minimum(t_end[:, None], t_end[None, :])
+            overlap = te >= ts
+            k = jnp.arange(w)
+            t_abs = ts[:, :, None] + k[None, None, :]          # [N, N, W]
+            in_ov = (t_abs <= te[:, :, None]) & overlap[:, :, None]
+            idx_i = jnp.clip(t_abs - win_t0[:, None, None], 0, w - 1)
+            idx_j = jnp.clip(t_abs - win_t0[None, :, None], 0, w - 1)
+            # window only covers the tail; positions before win_t0 unchecked
+            have_i = (t_abs >= win_t0[:, None, None]) & \
+                (idx_i < win_len[:, None, None])
+            have_j = (t_abs >= win_t0[None, :, None]) & \
+                (idx_j < win_len[None, :, None])
+            use = in_ov & have_i & have_j
+            pi = jnp.take_along_axis(
+                win_pts[:, None].repeat(n, 1), idx_i[..., None].repeat(3, -1),
+                axis=2)                                       # [N, N, W, 3]
+            pj = jnp.take_along_axis(
+                win_pts[None, :].repeat(n, 0), idx_j[..., None].repeat(3, -1),
+                axis=2)
+            dist = jnp.linalg.norm(pi - pj, axis=-1)
+            near = use & (dist <= acfg.max_moving_speed * 2)
+            too_close = jnp.any(near & (dist < acfg.min_target_proximity), -1)
+            cross = segments_intersect(pi[..., :-1, :2], pi[..., 1:, :2],
+                                       pj[..., :-1, :2], pj[..., 1:, :2])
+            crossing = jnp.any(cross & use[..., :-1] & use[..., 1:], -1)
+            incompat = incompat | too_close | crossing
+            compat = ~incompat & valid[:, None] & valid[None, :]
+            return compat & ~jnp.eye(n, dtype=bool)
+
+        self._compat_matrix = compat_matrix
+
+    # ------------------------------------------------------------------
+    # side-map sampling (host, numpy)
+    # ------------------------------------------------------------------
+    def _sensitivity_at(self, cam_idx: int, uv: np.ndarray) -> float:
+        m = self.sens_maps[cam_idx]
+        iu = int(np.clip(uv[0] / _MAP_STRIDE, 0, m.shape[1] - 1))
+        iv = int(np.clip(uv[1] / _MAP_STRIDE, 0, m.shape[0] - 1))
+        return float(m[iv, iu])
+
+    def _distance_from_boundary(self, points: np.ndarray) -> float:
+        """max over cameras of the boundary-distance map at the projected
+        pixel (ref GetDistanceFromBoundary, Associator3D.cpp:1076-1087);
+        -100 when invisible everywhere."""
+        best = -100.0
+        pts = np.atleast_2d(points)
+        for p in pts:
+            for c, cam in enumerate(self.cameras):
+                uv = np.asarray(world_to_image(cam, jnp.asarray(p)))
+                if not (np.isfinite(uv).all()
+                        and 0 <= uv[0] < self.cfg.image_width
+                        and 0 <= uv[1] < self.cfg.image_height):
+                    continue
+                m = self.bound_maps[c]
+                iu = int(np.clip(uv[0] / _MAP_STRIDE, 0, m.shape[1] - 1))
+                iv = int(np.clip(uv[1] / _MAP_STRIDE, 0, m.shape[0] - 1))
+                best = max(best, float(m[iv, iu]))
+        return best
+
+    def _enter_cost(self, points: np.ndarray) -> float:
+        d = self._distance_from_boundary(points)
+        penalty_free = self.num_frames_proc <= self.acfg.enter_penalty_free_length
+        return float(np.asarray(enter_probability(
+            jnp.asarray(d), jnp.asarray(penalty_free), self.acfg)))
+
+    def _exit_cost(self, points: np.ndarray, length: int) -> float:
+        d = self._distance_from_boundary(points)
+        return float(np.asarray(exit_cost(
+            jnp.asarray(d), jnp.asarray(float(length)), self.acfg)))
+
+    def _visible_anywhere(self, point: np.ndarray) -> bool:
+        for cam in self.cameras:
+            uv = np.asarray(world_to_image(cam, jnp.asarray(point)))
+            if (np.isfinite(uv).all() and 0 <= uv[0] < self.cfg.image_width
+                    and 0 <= uv[1] < self.cfg.image_height):
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # reconstruction (host assembly; heavy math stays on device in the
+    # batched window scorer — this covers single new positions)
+    # ------------------------------------------------------------------
+    def _reconstruct(self, combination: Tuple[int, ...]):
+        """Ground-plane reconstruction of one tracklet combination
+        (ref PointReconstruction, full-body branch, :830-856).
+
+        Returns (point [3], raw_points [C, 3], raw_mask [C], max_error,
+        cost_recon) or None if infeasible."""
+        locs = np.zeros((self.num_cams, 3))
+        mask = np.zeros((self.num_cams,), bool)
+        max_error = self.acfg.e_cal
+        for c, tid in enumerate(combination):
+            if tid < 0:
+                continue
+            tk = self.tracklets[c][tid]
+            locs[c] = tk.loc3d
+            mask[c] = True
+            max_error += self.acfg.e_det * tk.sensitivity
+        num = int(mask.sum())
+        if num == 0:
+            return None
+        point = locs[mask].mean(0)
+        if num < 2:
+            mean_dist = self.acfg.max_body_width / 2.0
+            prob = 0.5
+        else:
+            mean_dist = float(np.linalg.norm(locs[mask] - point, axis=-1).mean())
+            if mean_dist > max_error:
+                return None
+            from scipy.special import erfc
+            prob = 0.5 * erfc(4.0 * mean_dist / max_error - 2.0)
+        # detection likelihood ratio (ref :900-912)
+        ratio = 1.0
+        for c in range(self.num_cams):
+            if not self._visible_anywhere_cam(point, c):
+                continue
+            if mask[c]:
+                ratio *= (1 - self.acfg.fp_rate) / self.acfg.fp_rate
+            else:
+                ratio *= self.acfg.fn_rate / (1 - self.acfg.fn_rate)
+        prob = min(max(prob, 1e-12), 1 - 1e-12)
+        cost = np.log(1 - prob) - np.log(prob) - np.log(ratio)
+        return point, locs, mask, max_error, float(cost)
+
+    def _visible_anywhere_cam(self, point, c) -> bool:
+        uv = np.asarray(world_to_image(self.cameras[c], jnp.asarray(point)))
+        return (np.isfinite(uv).all() and 0 <= uv[0] < self.cfg.image_width
+                and 0 <= uv[1] < self.cfg.image_height)
+
+    # ==================================================================
+    # per-frame step
+    # ==================================================================
+    def step(self, frame_idx: int, ids, boxes, mask, rgb_frames
+             ) -> Track3DResult:
+        """Run one frame of association.
+
+        Args:
+          ids:   [C, T] int tracklet ids from the 2D stage.
+          boxes: [C, T, 4] boxes.
+          mask:  [C, T] bool.
+          rgb_frames: [C, H, W, 3] float images (for appearance).
+        """
+        self.frame_idx = frame_idx
+        self.num_frames_proc += 1
+
+        self._update_tracklets(frame_idx, np.asarray(ids), np.asarray(boxes),
+                               np.asarray(mask), rgb_frames)
+        self._update_tracks(frame_idx)
+        seeds = self._generate_seeds(frame_idx)
+        self._branch_tracks(frame_idx, seeds)
+        self._form_hypotheses(frame_idx, seeds)
+        self._prune(frame_idx)
+        self.registry.gc()
+        return self._package_result(frame_idx)
+
+    # ------------------------------------------------------------------
+    # 7a. tracklet ingest & cross-camera gating (ref :1099-1268)
+    # ------------------------------------------------------------------
+    def _update_tracklets(self, frame_idx, ids, boxes, mask, rgb_frames):
+        locs, tops, bottoms, hists = self._ingest(
+            jnp.asarray(boxes), jnp.asarray(mask), jnp.asarray(rgb_frames))
+        locs = np.asarray(locs)
+        tops = np.asarray(tops)
+        bottoms = np.asarray(bottoms)
+        hists = np.asarray(hists)
+
+        for c in range(self.num_cams):
+            self.new_measurements[c] = []
+            seen = set()
+            for j in range(ids.shape[1]):
+                if not mask[c, j]:
+                    continue
+                tid = int(ids[c, j])
+                seen.add(tid)
+                sens = self._sensitivity_at(c, bottoms[c, j])
+                if tid in self.tracklets[c]:
+                    tk = self.tracklets[c][tid]
+                    tk.activated = True
+                    tk.box = boxes[c, j].copy()
+                    tk.loc3d = locs[c, j].copy()
+                    tk.bp_top = tops[c, j].copy()
+                    tk.bp_bottom = locs[c, j].copy()
+                    tk.sensitivity = sens
+                    tk.rgb_tail = hists[c, j].copy()
+                    tk.time_end = frame_idx
+                    tk.duration += 1
+                    tk.assoc = {}
+                else:
+                    tk = Tracklet(
+                        id=tid, cam=c, time_start=frame_idx,
+                        time_end=frame_idx, box=boxes[c, j].copy(),
+                        loc3d=locs[c, j].copy(), bp_top=tops[c, j].copy(),
+                        bp_bottom=locs[c, j].copy(), sensitivity=sens,
+                        rgb_head=hists[c, j].copy(),
+                        rgb_tail=hists[c, j].copy())
+                    self.tracklets[c][tid] = tk
+                    self.active_tracklets[c].append(tid)
+                    self.new_measurements[c].append(tid)
+            # deactivate / retire missing tracklets (ref :1183-1196:
+            # one grace frame as inactive, then removal)
+            still = []
+            for tid in self.active_tracklets[c]:
+                tk = self.tracklets[c][tid]
+                if tid in seen:
+                    still.append(tid)
+                elif tk.activated:
+                    tk.activated = False
+                    still.append(tid)
+                # else: drop from active list entirely
+            self.active_tracklets[c] = still
+
+        # associability maps (ref :1233-1268), batched per camera pair
+        any_new = any(self.new_measurements[c] for c in range(self.num_cams))
+        if not any_new:
+            return
+        def pad_lines(tracklets, n):
+            top = np.zeros((n, 3), np.float32)
+            bot = np.zeros((n, 3), np.float32)
+            for i, t in enumerate(tracklets):
+                top[i] = t.bp_top
+                bot[i] = t.bp_bottom
+            return jnp.asarray(top), jnp.asarray(bot)
+
+        for c1 in range(self.num_cams):
+            act = [self.tracklets[c1][t] for t in self.active_tracklets[c1]]
+            if not act:
+                continue
+            na = _bucket(len(act))
+            top1, bot1 = pad_lines(act, na)
+            for c2 in range(self.num_cams):
+                new = [self.tracklets[c2][t]
+                       for t in self.new_measurements[c2]]
+                if c1 == c2 or not new:
+                    for t in act:
+                        t.assoc[c2] = np.zeros(len(new), bool)
+                    continue
+                nb = _bucket(len(new))
+                top2, bot2 = pad_lines(new, nb)
+                d = np.asarray(self._pair_distance(top1, bot1, top2, bot2))
+                ok = d <= self.acfg.max_tracklet_distance
+                for i, t in enumerate(act):
+                    t.assoc[c2] = ok[i, :len(new)]
+
+    # ------------------------------------------------------------------
+    # 7c. track update (ref Track3D_UpdateTracks :1379-1715)
+    # ------------------------------------------------------------------
+    def _update_tracks(self, frame_idx):
+        reg = self.registry
+        new_active: List[int] = []
+        pending: List[Tuple[Track, tuple]] = []
+
+        for tid in self.active_tracks:
+            tr = reg.tracks.get(tid)
+            if tr is None or not tr.valid:
+                continue
+            # refresh current combination against tracklet liveness
+            combo = list(tr.combination)
+            for c in range(self.num_cams):
+                t2 = combo[c]
+                if t2 < 0:
+                    continue
+                tk = self.tracklets[c].get(t2)
+                if tk is None or not tk.activated:
+                    combo[c] = -1
+                else:
+                    tr.last_t_end[c] = frame_idx
+                    tr.last_t_loc[c] = tk.loc3d
+                    tr.last_sens[c] = tk.sensitivity
+                    tr.last_rgb[c] = tk.rgb_tail
+            tr.combination = tuple(combo)
+
+            if all(t2 < 0 for t2 in combo):
+                # pause: exit cost from the last per-camera locations
+                tr.active = False
+                pts = tr.last_t_loc[tr.raw_mask[tr.n_measured - 1]] \
+                    if tr.n_measured > 0 else tr.last_t_loc
+                tr.cost_exit = self._exit_cost(pts, tr.duration)
+                self.paused_tracks.append(tid)
+                continue
+
+            rec = self._reconstruct(tr.combination)
+            if rec is None:
+                tr.valid = False
+                continue
+            point, raws, rmask, max_err, cost_rec = rec
+            p_link = float(np.asarray(link_probability(
+                jnp.asarray(tr.points[-1]), jnp.asarray(point), 1.0,
+                self.acfg.max_moving_speed)))
+            if p_link < self.acfg.min_linking_probability:
+                tr.valid = False
+                continue
+            self._append_position(tr, point, raws, rmask, max_err,
+                                  cost_rec, -np.log(max(p_link, 1e-300)),
+                                  is_meas=True)
+            tr.time_end = frame_idx
+            tr.n_measured = tr.length
+            tr.num_outpoint = 0
+            pending.append((tr, None))
+            new_active.append(tid)
+
+        # batched re-smoothing + re-costing of all updated tracks
+        self._rescore_tails([t for t, _ in pending])
+        still_active = []
+        for tr, _ in pending:
+            if tr.valid:
+                still_active.append(tr.id)
+        self.active_tracks = still_active
+
+        # paused tracks: dummy extrapolation (ref :1529-1584)
+        new_paused = []
+        for tid in self.paused_tracks:
+            tr = reg.tracks.get(tid)
+            if tr is None or not tr.valid:
+                continue
+            if tr.time_end + self.acfg.max_time_jump < frame_idx:
+                if tr.total_cost() >= 0.0:
+                    tr.valid = False
+                continue
+            last = tr.smoothed[-1] + tr.velocity[-1]
+            self._append_position(
+                tr, last, np.zeros((self.num_cams, 3)),
+                np.zeros((self.num_cams,), bool), 0.0, 0.0, 0.0,
+                is_meas=False, velocity=tr.velocity[-1])
+            if not self._visible_anywhere(last):
+                tr.num_outpoint += 1
+            if tr.num_outpoint > self.acfg.max_outpoint:
+                continue
+            new_paused.append(tid)
+        self.paused_tracks = new_paused
+
+        # window management (ref :1589-1604)
+        self.tracks_in_window = [
+            tid for tid in self.tracks_in_window
+            if tid in reg.tracks and reg.tracks[tid].valid
+            and reg.tracks[tid].time_end + self.acfg.proc_window_size
+            > frame_idx]
+
+        # tree upkeep (ref :1609-1659)
+        for tree in list(reg.trees.values()):
+            live = [tid for tid in tree.track_ids
+                    if tid in reg.tracks and reg.tracks[tid].valid]
+            for tid in tree.track_ids:
+                t = reg.tracks.get(tid)
+                if t is not None:
+                    t.branch_gt_prob = 0.0
+                    t.gt_prob = 0.0
+                    t.current_best = False
+            if not live:
+                tree.valid = False
+                continue
+            if (not tree.confirmed and tree.time_generation
+                    + self.acfg.num_frames_for_confirmation <= frame_idx):
+                tree.confirmed = True
+
+        # hypothesis validity (ref :1664-1688)
+        for h in self.prev_hypotheses:
+            h.valid = all(t in reg.tracks and reg.tracks[t].valid
+                          for t in h.selected)
+            h.related = [t for t in h.related
+                         if t in reg.tracks and reg.tracks[t].valid]
+        self.prev_hypotheses = [h for h in self.prev_hypotheses if h.valid]
+
+    def _append_position(self, tr: Track, point, raws, rmask, max_err,
+                         cost_rec, cost_link, is_meas, velocity=None):
+        tr.points = np.vstack([tr.points, point[None]])
+        tr.smoothed = np.vstack([tr.smoothed, point[None]])
+        v = (point - tr.smoothed[-2]) if velocity is None else velocity
+        tr.velocity = np.vstack([tr.velocity, v[None]])
+        tr.raw_points = np.concatenate([tr.raw_points, raws[None]], 0)
+        tr.raw_mask = np.concatenate([tr.raw_mask, rmask[None]], 0)
+        tr.max_error = np.append(tr.max_error, max_err)
+        tr.is_meas = np.append(tr.is_meas, is_meas)
+        tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
+        tr.cost_link_pos = np.append(tr.cost_link_pos, cost_link)
+
+    def _rescore_tails(self, tracks: List[Track]):
+        """Batched window re-smoothing + re-costing for a set of tracks
+        (the device replacement for the reference's per-track tail loops,
+        ref :1468-1516)."""
+        if not tracks:
+            return
+        w = self.win
+        c = self.num_cams
+        n = _bucket(len(tracks))
+        pts = np.zeros((n, w, 3), np.float32)
+        raws = np.zeros((n, w, c, 3), np.float32)
+        rmask = np.zeros((n, w, c), bool)
+        merr = np.zeros((n, w), np.float32)
+        lens = np.zeros((n,), np.int32)
+        starts = np.zeros((n,), np.int64)
+        for i, tr in enumerate(tracks):
+            ln = min(tr.length, w)
+            starts[i] = tr.length - ln
+            pts[i, :ln] = tr.points[starts[i]:]
+            raws[i, :ln] = tr.raw_points[starts[i]:]
+            rmask[i, :ln] = tr.raw_mask[starts[i]:]
+            merr[i, :ln] = tr.max_error[starts[i]:]
+            lens[i] = ln
+        res = self._score_windows(jnp.asarray(pts), jnp.asarray(raws),
+                                  jnp.asarray(rmask), jnp.asarray(merr),
+                                  jnp.asarray(lens))
+        smoothed = np.asarray(res.smoothed)
+        velocity = np.asarray(res.velocity)
+        cost_r = np.asarray(res.cost_recon)
+        cost_l = np.asarray(res.cost_link)
+        valid = np.asarray(res.valid)
+        for i, tr in enumerate(tracks):
+            ln = int(lens[i])
+            s = int(starts[i])
+            if not valid[i]:
+                tr.valid = False
+                continue
+            tr.smoothed[s:] = smoothed[i, :ln]
+            tr.velocity[s:] = velocity[i, :ln]
+            tr.cost_recon_pos[s:] = cost_r[i, :ln]
+            tr.cost_link_pos[s:] = cost_l[i, :ln]
+            if s > 0:
+                # window-interior link cost at the seam stays as previously
+                # computed; position s cost_link refers to link (s-1, s)
+                pass
+
+    # ------------------------------------------------------------------
+    # 7b. combination generation (ref :1283-1336)
+    # ------------------------------------------------------------------
+    def _generate_combinations(self, assoc_maps, base: List[int],
+                               cam_idx: int, out: List[Tuple[int, ...]],
+                               cap: int = 256):
+        """Recursive enumeration of feasible tracklet combinations.
+        assoc_maps: per-camera bool arrays over that camera's new
+        measurements; base: current combination (tracklet ids, -1 = none)."""
+        if len(out) >= cap:
+            return
+        if cam_idx >= self.num_cams:
+            out.append(tuple(base))
+            return
+        if base[cam_idx] >= 0:
+            tk = self.tracklets[cam_idx][base[cam_idx]]
+            new_maps = []
+            for c2 in range(self.num_cams):
+                m = assoc_maps[c2]
+                if c2 > cam_idx:
+                    m = m & tk.assoc.get(c2, np.zeros_like(m))
+                new_maps.append(m)
+            self._generate_combinations(new_maps, base, cam_idx + 1, out, cap)
+            return
+        # null tracklet
+        self._generate_combinations(assoc_maps, base, cam_idx + 1, out, cap)
+        for j, tid in enumerate(self.new_measurements[cam_idx]):
+            if not assoc_maps[cam_idx][j]:
+                continue
+            tk = self.tracklets[cam_idx][tid]
+            base2 = list(base)
+            base2[cam_idx] = tid
+            new_maps = []
+            for c2 in range(self.num_cams):
+                m = assoc_maps[c2]
+                if c2 > cam_idx:
+                    m = m & tk.assoc.get(c2, np.zeros_like(m))
+                new_maps.append(m)
+            self._generate_combinations(new_maps, base2, cam_idx + 1, out,
+                                        cap)
+
+    # ------------------------------------------------------------------
+    # seeds (ref Track3D_GenerateSeedTracks :1727-1819)
+    # ------------------------------------------------------------------
+    def _generate_seeds(self, frame_idx) -> List[int]:
+        if not any(self.new_measurements[c] for c in range(self.num_cams)):
+            return []
+        combos: List[Tuple[int, ...]] = []
+        maps = [np.ones(len(self.new_measurements[c]), bool)
+                for c in range(self.num_cams)]
+        self._generate_combinations(maps, [-1] * self.num_cams, 0, combos)
+        seeds = []
+        for combo in combos:
+            if all(t < 0 for t in combo):
+                continue
+            rec = self._reconstruct(combo)
+            if rec is None:
+                continue
+            point, raws, rmask, max_err, cost_rec = rec
+            tr = self._new_track_from_seed(frame_idx, combo, point, raws,
+                                           rmask, max_err, cost_rec)
+            seeds.append(tr.id)
+        return seeds
+
+    def _new_track_from_seed(self, frame_idx, combo, point, raws, rmask,
+                             max_err, cost_rec) -> Track:
+        reg = self.registry
+        c = self.num_cams
+        tree = reg.new_tree(frame_idx)
+        tr = Track(
+            id=reg.alloc_track_id(), tree_id=tree.id, parent=None,
+            num_cams=c, combination=tuple(combo), time_start=frame_idx,
+            time_end=frame_idx, time_generation=frame_idx,
+            tid_hist=[[t] if t >= 0 else [] for t in combo],
+            n_measured=1,
+            points=point[None].astype(np.float64),
+            smoothed=point[None].astype(np.float64),
+            velocity=np.zeros((1, 3)),
+            raw_points=raws[None], raw_mask=rmask[None],
+            max_error=np.asarray([max_err]),
+            is_meas=np.asarray([True]),
+            cost_recon_pos=np.asarray([cost_rec]),
+            cost_link_pos=np.zeros(1),
+            last_t_end=np.zeros(c, np.int64),
+            last_t_loc=np.zeros((c, 3)),
+            last_sens=np.zeros(c), last_rgb=np.zeros((c, 48)))
+        pts = []
+        for ci, t2 in enumerate(combo):
+            if t2 < 0:
+                continue
+            tk = self.tracklets[ci][t2]
+            tr.last_t_end[ci] = frame_idx
+            tr.last_t_loc[ci] = tk.loc3d
+            tr.last_sens[ci] = tk.sensitivity
+            tr.last_rgb[ci] = tk.rgb_tail
+            pts.append(tk.loc3d)
+        tr.cost_enter = self._enter_cost(np.stack(pts))
+        reg.add_track(tr)
+        self.active_tracks.append(tr.id)
+        self.tracks_in_window.append(tr.id)
+        return tr
+
+    # ------------------------------------------------------------------
+    # branching (ref Track3D_BranchTracks :1832-2242)
+    # ------------------------------------------------------------------
+    def _branch_tracks(self, frame_idx, seeds: List[int]):
+        reg = self.registry
+        candidates: List[Track] = []
+
+        # ---- spatial branching -------------------------------------------
+        order = sorted(
+            [t for t in self.active_tracks if t not in seeds],
+            key=lambda t: (-reg.tracks[t].gt_prob,
+                           reg.tracks[t].total_cost()))
+        for tid in order:
+            tr = reg.tracks[tid]
+            combo = tr.combination
+            maps = [np.ones(len(self.new_measurements[c]), bool)
+                    for c in range(self.num_cams)]
+            for c in range(self.num_cams):
+                if combo[c] < 0:
+                    continue
+                tk = self.tracklets[c][combo[c]]
+                for c2 in range(self.num_cams):
+                    m = tk.assoc.get(c2)
+                    if m is not None and len(m) == len(maps[c2]):
+                        maps[c2] = maps[c2] & m
+            branches: List[Tuple[int, ...]] = []
+            self._generate_combinations(maps, list(combo), 0, branches,
+                                        cap=64)
+            for br in branches:
+                if br == combo:
+                    continue
+                cand = self._make_spatial_branch(frame_idx, tr, br)
+                if cand is not None:
+                    candidates.append(cand)
+
+        # ---- temporal branching ------------------------------------------
+        order_p = sorted(self.paused_tracks,
+                         key=lambda t: (-reg.tracks[t].gt_prob,
+                                        reg.tracks[t].total_cost()))
+        for tid in order_p:
+            tr = reg.tracks[tid]
+            for sid in seeds:
+                seed = reg.tracks.get(sid)
+                if seed is None:
+                    continue
+                cand = self._make_temporal_branch(frame_idx, tr, seed)
+                if cand is not None:
+                    candidates.append(cand)
+
+        if not candidates:
+            return
+        # batched scoring, then accept survivors
+        self._rescore_tails(candidates)
+        for cand in candidates:
+            if not cand.valid:
+                continue
+            reg.add_track(cand)
+            self.tracks_in_window.append(cand.id)
+            self.active_tracks.append(cand.id)
+
+    def _make_spatial_branch(self, frame_idx, parent: Track,
+                             combo: Tuple[int, ...]) -> Optional[Track]:
+        rec = self._reconstruct(combo)
+        if rec is None:
+            return None
+        point, raws, rmask, max_err, cost_rec = rec
+        if parent.length < 2:
+            prev_pt = parent.points[0]
+        else:
+            prev_pt = parent.points[-2]
+        p_link = float(np.asarray(link_probability(
+            jnp.asarray(prev_pt), jnp.asarray(point), 1.0,
+            self.acfg.max_moving_speed)))
+        if p_link < self.acfg.min_linking_probability:
+            return None
+        reg = self.registry
+        tr = self._clone_track(parent, reg.alloc_track_id(), frame_idx)
+        # replace the last position with the branch reconstruction
+        tr.points[-1] = point
+        tr.smoothed[-1] = point
+        tr.raw_points[-1] = raws
+        tr.raw_mask[-1] = rmask
+        tr.max_error[-1] = max_err
+        tr.is_meas[-1] = True
+        tr.cost_recon_pos[-1] = cost_rec
+        tr.cost_link_pos[-1] = -np.log(max(p_link, 1e-300))
+        tr.combination = tuple(combo)
+        if not self._apply_tracklet_history(tr, combo, frame_idx):
+            return None
+        return tr
+
+    def _make_temporal_branch(self, frame_idx, paused: Track,
+                              seed: Track) -> Optional[Track]:
+        gap = seed.time_start - paused.time_end
+        if gap < 1 or gap > self.acfg.max_time_jump:
+            return None
+        last_meas = paused.points[paused.n_measured - 1]
+        seed_pt = seed.points[0]
+        p_link = float(np.asarray(link_probability(
+            jnp.asarray(last_meas), jnp.asarray(seed_pt), float(gap),
+            self.acfg.max_moving_speed)))
+        if p_link < self.acfg.min_linking_probability:
+            return None
+        reg = self.registry
+        tr = self._clone_track(paused, reg.alloc_track_id(), frame_idx,
+                               length=paused.n_measured)
+        # linear interpolation over the gap (ref :2104-2121)
+        delta = (seed_pt - last_meas) / gap
+        for k in range(1, gap):
+            p = last_meas + delta * k
+            self._append_position(tr, p, np.zeros((self.num_cams, 3)),
+                                  np.zeros((self.num_cams,), bool), 0.0,
+                                  0.0, 0.0, is_meas=False)
+        self._append_position(tr, seed_pt, seed.raw_points[0],
+                              seed.raw_mask[0], seed.max_error[0],
+                              seed.cost_recon_pos[0], 0.0, is_meas=True)
+        tr.combination = seed.combination
+        tr.time_end = seed.time_end
+        tr.n_measured = tr.length
+        if not self._apply_tracklet_history(tr, seed.combination, frame_idx):
+            return None
+        return tr
+
+    def _clone_track(self, src: Track, new_id: int, frame_idx: int,
+                     length: Optional[int] = None) -> Track:
+        ln = src.length if length is None else length
+        tr = Track(
+            id=new_id, tree_id=src.tree_id, parent=src.id,
+            num_cams=src.num_cams, combination=src.combination,
+            time_start=src.time_start,
+            time_end=src.time_end, time_generation=frame_idx,
+            tid_hist=[list(h) for h in src.tid_hist],
+            n_measured=min(src.n_measured, ln),
+            points=src.points[:ln].copy(),
+            smoothed=src.smoothed[:ln].copy(),
+            velocity=src.velocity[:ln].copy(),
+            raw_points=src.raw_points[:ln].copy(),
+            raw_mask=src.raw_mask[:ln].copy(),
+            max_error=src.max_error[:ln].copy(),
+            is_meas=src.is_meas[:ln].copy(),
+            cost_recon_pos=src.cost_recon_pos[:ln].copy(),
+            cost_link_pos=src.cost_link_pos[:ln].copy(),
+            cost_enter=src.cost_enter, cost_exit=0.0,
+            cost_rgb=src.cost_rgb, gt_prob=src.gt_prob,
+            last_t_end=src.last_t_end.copy(),
+            last_t_loc=src.last_t_loc.copy(),
+            last_sens=src.last_sens.copy(),
+            last_rgb=src.last_rgb.copy())
+        return tr
+
+    def _apply_tracklet_history(self, tr: Track, combo, frame_idx) -> bool:
+        """Append newly inserted tracklets to the per-camera history with
+        connectivity + RGB costs (ref :1985-2031)."""
+        for c, t2 in enumerate(combo):
+            if t2 < 0:
+                continue
+            tk = self.tracklets[c][t2]
+            hist = tr.tid_hist[c]
+            if not hist or hist[-1] != t2:
+                hist.append(t2)
+                if len(hist) > 1:
+                    gap = frame_idx - int(tr.last_t_end[c])
+                    d = np.linalg.norm(tr.last_t_loc[c] - tk.loc3d)
+                    thresh = max(self.acfg.cost_tracklet_link_min_dist,
+                                 self.acfg.e_cal + self.acfg.e_det
+                                 * (tr.last_sens[c] + tk.sensitivity))
+                    if gap <= 1 and d > thresh:
+                        return False
+                    tr.cost_rgb += float(np.asarray(rgb_cost(
+                        jnp.asarray(tr.last_rgb[c]),
+                        jnp.asarray(tk.rgb_head), float(gap),
+                        self.acfg.cost_rgb_min_dist, self.acfg.cost_rgb_coef,
+                        self.acfg.cost_rgb_decay)))
+            tr.last_rgb[c] = tk.rgb_tail
+            tr.last_t_loc[c] = tk.loc3d
+            tr.last_t_end[c] = frame_idx
+            tr.last_sens[c] = tk.sensitivity
+        return True
+
+    # ------------------------------------------------------------------
+    # 7f. hypothesis formation (ref :2589-2834)
+    # ------------------------------------------------------------------
+    def _form_hypotheses(self, frame_idx, seeds: List[int]):
+        reg = self.registry
+        vmax = self.cfg.solver.max_vertices
+
+        # update related sets (ref Hypothesis_UpdateHypotheses :2589-2652)
+        hyp_inputs: List[Hypothesis] = []
+        for h in self.prev_hypotheses[:self.acfg.k_best_size]:
+            related = list(h.related)
+            for tid in h.related:
+                t = reg.tracks.get(tid)
+                if t is None:
+                    continue
+                for ch in t.children:
+                    cht = reg.tracks.get(ch)
+                    if cht is not None and cht.new_track:
+                        related.append(ch)
+            related = sorted(set(related),
+                             key=lambda t: (-reg.tracks[t].gt_prob,
+                                            reg.tracks[t].total_cost())
+                             if t in reg.tracks else (0, 0))
+            related = [t for t in related if t in reg.tracks][:
+                self.acfg.max_track_in_optimization]
+            related += [s for s in seeds if s in reg.tracks]
+            hyp_inputs.append(Hypothesis(
+                selected=list(h.selected), related=related,
+                log_likelihood=h.log_likelihood))
+
+        if not hyp_inputs:
+            cand = [t for t in self.tracks_in_window if t in reg.tracks
+                    and reg.tracks[t].valid]
+            hyp_inputs = [Hypothesis(selected=[], related=cand,
+                                     log_likelihood=0.0)]
+
+        # global candidate pool: union of all related tracks
+        pool: List[int] = []
+        seen = set()
+        for h in hyp_inputs:
+            for t in h.related:
+                if t not in seen and t in reg.tracks \
+                        and reg.tracks[t].valid:
+                    tr = reg.tracks[t]
+                    if tr.total_cost() < 0.0:   # vertices need loglik > 0
+                        seen.add(t)
+                        pool.append(t)
+        if not pool:
+            self.prev_hypotheses = []
+            self.best_solution = []
+            return
+        pool = pool[:vmax]
+        pool_idx = {t: i for i, t in enumerate(pool)}
+        n = len(pool)
+
+        # compatibility matrix on device (bucketed padding, one compile
+        # per graph-size bucket)
+        kcap = 16
+        nb = _bucket(n)
+        tree_ids = np.full((nb,), -1, np.int64)
+        tids = np.full((nb, self.num_cams, kcap), -1, np.int32)
+        t_start = np.zeros((nb,), np.int64)
+        t_end = np.full((nb,), -1, np.int64)
+        w = self.win
+        win_pts = np.zeros((nb, w, 3), np.float32)
+        win_t0 = np.zeros((nb,), np.int32)
+        win_len = np.zeros((nb,), np.int32)
+        pvalid = np.zeros((nb,), bool)
+        for i, t in enumerate(pool):
+            tr = reg.tracks[t]
+            tree_ids[i] = tr.tree_id
+            for c in range(self.num_cams):
+                h = tr.tid_hist[c][-kcap:]
+                tids[i, c, :len(h)] = h
+            t_start[i] = tr.time_start
+            t_end[i] = tr.time_start + tr.length - 1
+            ln = min(tr.length, w)
+            win_pts[i, :ln] = tr.points[tr.length - ln:]
+            win_t0[i] = tr.time_start + tr.length - ln
+            win_len[i] = ln
+            pvalid[i] = True
+        # pad rows get unique fake tree ids so they never count as same-tree
+        tree_ids[n:] = -(np.arange(nb - n) + 2)
+        compat = np.zeros((vmax, vmax), bool)
+        compat_n = np.asarray(self._compat_matrix(
+            jnp.asarray(tree_ids), jnp.asarray(tids), jnp.asarray(t_start),
+            jnp.asarray(t_end), jnp.asarray(win_pts), jnp.asarray(win_t0),
+            jnp.asarray(win_len), jnp.asarray(pvalid)))
+        compat[:n, :n] = compat_n[:n, :n]
+
+        weights = np.zeros((vmax,), np.float32)
+        for i, t in enumerate(pool):
+            weights[i] = -reg.tracks[t].total_cost()
+        valid = np.zeros((vmax,), bool)
+        valid[:n] = True
+
+        # solve per hypothesis (batched over K via lax.map-style python loop;
+        # each solve is replica-parallel on device)
+        all_solutions: List[Tuple[frozenset, float]] = []
+        # iteration budget ~ 10x edges clipped to [200, max]
+        # (ref GraphSolver.cpp:548-553), quantised so jit compiles per
+        # bucket rather than per exact edge count
+        raw_iters = int(np.clip(10 * compat_n.sum() // 2, 200,
+                                self.cfg.solver.max_iterations))
+        for b in (200, 500, 1000, 2000):
+            if raw_iters <= b:
+                break
+        iters = min(b, self.cfg.solver.max_iterations)
+        for h in hyp_inputs:
+            init = np.zeros((vmax,), bool)
+            sub_valid = np.zeros((vmax,), bool)
+            for t in h.related:
+                if t in pool_idx:
+                    sub_valid[pool_idx[t]] = True
+            for t in h.selected:
+                if t in pool_idx:
+                    init[pool_idx[t]] = True
+            self.solver_key, k = jax.random.split(self.solver_key)
+            res = solve_mwcp(jnp.asarray(weights), jnp.asarray(compat),
+                             jnp.asarray(sub_valid & valid),
+                             jnp.asarray(init), k, self.cfg.solver, iters)
+            masks, scores = collect_k_best(res, self.acfg.k_best_size)
+            for m, s in zip(masks, scores):
+                sel = frozenset(pool[i] for i in np.where(m[:n])[0])
+                if sel:
+                    all_solutions.append((sel, s))
+
+        # dedup (ref :2812-2828)
+        uniq: List[Tuple[frozenset, float]] = []
+        for sel, s in all_solutions:
+            if not any(abs(s - s2) < 1e-5 and sel == sel2
+                       for sel2, s2 in uniq):
+                uniq.append((sel, s))
+        uniq.sort(key=lambda x: -x[1])
+        uniq = uniq[:max(self.acfg.k_best_size, 1)]
+
+        # probabilities + GTProb (ref :2687-2704)
+        total = sum(s for _, s in uniq)
+        hyps = []
+        for sel, s in uniq:
+            prob = s / total if total > 0 else 0.0
+            for t in sel:
+                reg.tracks[t].gt_prob += prob
+            hyps.append(Hypothesis(selected=sorted(sel), related=pool,
+                                   log_likelihood=s, probability=prob))
+        self.prev_hypotheses = hyps
+        self.best_solution = hyps[0].selected if hyps else []
+        for t in self.best_solution:
+            reg.tracks[t].current_best = True
+        for t in reg.tracks.values():
+            t.new_track = False
+
+    # ------------------------------------------------------------------
+    # pruning (ref :2845-2994 + :3005-3047)
+    # ------------------------------------------------------------------
+    def _prune(self, frame_idx):
+        reg = self.registry
+        acfg = self.acfg
+        # N-scan-back (ref Hypothesis_PruningNScanBack :2845-2948)
+        t_prune = frame_idx - acfg.proc_window_size
+        for tid in self.best_solution:
+            tr = reg.tracks.get(tid)
+            if tr is None:
+                continue
+            tree = reg.trees.get(tr.tree_id)
+            if tree is None or tree.time_generation \
+                    + acfg.num_frames_for_confirmation > frame_idx:
+                continue
+            seed_id = reg.oldest_track_in_branch(tid, t_prune)
+            seed = reg.tracks[seed_id]
+            if seed.parent is None:
+                continue
+            parent = reg.tracks.get(seed.parent)
+            if parent is None:
+                continue
+            for ch in parent.children:
+                if ch != seed_id:
+                    reg.set_branch_validity(ch, False)
+
+        # GTP pruning (ref Hypothesis_PruningTrackWithGTP :2959-2994)
+        ranked = sorted(
+            [t for t in self.tracks_in_window if t in reg.tracks],
+            key=lambda t: (-reg.tracks[t].gt_prob,
+                           reg.tracks[t].total_cost()))
+        kept = 0
+        for tid in ranked:
+            tr = reg.tracks[tid]
+            if not tr.valid:
+                continue
+            tree = reg.trees.get(tr.tree_id)
+            if tree is not None and not tree.confirmed:
+                continue
+            if kept < acfg.max_track_in_optimization and tr.gt_prob > 0.0:
+                kept += 1
+                continue
+            tr.valid = False
+
+        # unconfirmed trees: keep top-2 tracks (ref :2985-2993)
+        for tree in reg.trees.values():
+            if tree.confirmed or not tree.valid:
+                continue
+            ts = sorted([t for t in tree.track_ids if t in reg.tracks],
+                        key=lambda t: (-reg.tracks[t].gt_prob,
+                                       reg.tracks[t].total_cost()))
+            for tid in ts[acfg.max_track_in_unconfirmed_tree:]:
+                reg.tracks[tid].valid = False
+
+        # refresh hypotheses (ref Hypothesis_RefreshHypotheses :3005-3047)
+        unconfirmed = [t for tree in reg.trees.values()
+                       if tree.valid and not tree.confirmed
+                       for t in tree.track_ids
+                       if t in reg.tracks and reg.tracks[t].valid]
+        fresh = []
+        for h in self.prev_hypotheses:
+            if not all(t in reg.tracks and reg.tracks[t].valid
+                       for t in h.selected):
+                continue
+            h.related = list(h.selected) + unconfirmed
+            fresh.append(h)
+        self.prev_hypotheses = fresh
+        self.best_solution = fresh[0].selected if fresh else []
+
+        # drop invalidated ids from live lists
+        live = lambda ids: [t for t in ids if t in reg.tracks
+                            and reg.tracks[t].valid]
+        self.active_tracks = live(self.active_tracks)
+        self.paused_tracks = live(self.paused_tracks)
+        self.tracks_in_window = live(self.tracks_in_window)
+
+    # ------------------------------------------------------------------
+    # result packaging (ref ResultWithTracks :3058-3168)
+    # ------------------------------------------------------------------
+    def _package_result(self, frame_idx) -> Track3DResult:
+        reg = self.registry
+        ids, tids, pts = [], [], []
+        for tid in self.best_solution:
+            tr = reg.tracks.get(tid)
+            if tr is None or tr.time_start + tr.length - 1 < frame_idx:
+                continue
+            p = tr.point_at(frame_idx)
+            if p is None:
+                continue
+            ids.append(tr.tree_id)
+            tids.append(tr.id)
+            pts.append(p)
+        return Track3DResult(
+            frame_idx=frame_idx, ids=ids, track_ids=tids,
+            points=np.asarray(pts).reshape(-1, 3))
+
+    def result_at(self, frame_idx: int) -> Track3DResult:
+        """Deferred-output result: current best tracks evaluated at an
+        earlier frame (ref deferred evaluation feed, :507-512)."""
+        return self._package_result_at(frame_idx)
+
+    def _package_result_at(self, frame_idx) -> Track3DResult:
+        reg = self.registry
+        ids, tids, pts = [], [], []
+        for tid in self.best_solution:
+            tr = reg.tracks.get(tid)
+            if tr is None:
+                continue
+            p = tr.point_at(frame_idx)
+            if p is None:
+                continue
+            ids.append(tr.tree_id)
+            tids.append(tr.id)
+            pts.append(p)
+        return Track3DResult(frame_idx=frame_idx, ids=ids, track_ids=tids,
+                             points=np.asarray(pts).reshape(-1, 3))

@@ -1,0 +1,80 @@
+"""Top-level tracking engine — the redesign of the reference orchestrator
+CPSNWhere (psn_where/PSNWhere.h:11-57, PSNWhere.cpp:243-283).
+
+Per frame:
+  1. camera-batched 2D tracklet step (one vmapped device program replacing
+     the OpenMP per-camera fan-out, ref PSNWhere.cpp:257-266 — results are
+     indexed by camera, fixing the reference's completion-order race)
+  2. 3D MHT association step
+  3. optional deferred CLEAR-MOT evaluation feed (ref Associator3D.cpp:507-512)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcmtt_opticalflow_tpu.config import EngineConfig
+from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera, stack_cameras
+from mcmtt_opticalflow_tpu.models.associator3d import (Associator3D,
+                                                       Track3DResult)
+from mcmtt_opticalflow_tpu.models.tracker2d import (init_tracker2d_state,
+                                                    make_tracker2d_step)
+
+
+class TrackingEngine:
+    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera]):
+        assert len(cameras) == cfg.num_cameras
+        self.cfg = cfg
+        self.cameras = list(cameras)
+        self.cams = stack_cameras(cameras)
+        self.step2d = make_tracker2d_step(cfg.tracker2d, multi_camera=True)
+        self.state2d = init_tracker2d_state(
+            cfg.tracker2d, cfg.image_height, cfg.image_width,
+            num_cameras=cfg.num_cameras)
+        self.assoc = Associator3D(cfg, cameras)
+        self.frame_idx = -1
+        self.results: List[Track3DResult] = []
+        self.timing: List[float] = []
+
+    def _pad_detections(self, detections):
+        c = self.cfg.num_cameras
+        d = self.cfg.tracker2d.max_detections
+        boxes = np.zeros((c, d, 4), np.float32)
+        mask = np.zeros((c, d), bool)
+        for ci in range(c):
+            det = np.asarray(detections[ci], np.float32).reshape(-1, 4)
+            n = min(len(det), d)
+            boxes[ci, :n] = det[:n]
+            mask[ci, :n] = True
+        return boxes, mask
+
+    def process_frame(self, frames_rgb: np.ndarray,
+                      detections: Sequence[np.ndarray],
+                      frame_idx: Optional[int] = None) -> Track3DResult:
+        """Args:
+          frames_rgb: [C, H, W, 3] float images in [0, 1].
+          detections: per camera [K_c, 4] (x, y, w, h) arrays.
+        """
+        t0 = time.perf_counter()
+        self.frame_idx = self.frame_idx + 1 if frame_idx is None else frame_idx
+        boxes, mask = self._pad_detections(detections)
+        frames_rgb = np.asarray(frames_rgb, np.float32)
+        gray = jnp.asarray(frames_rgb.mean(-1))
+
+        self.state2d, out2d = self.step2d(
+            self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
+            self.cams, jnp.int32(self.frame_idx))
+
+        result = self.assoc.step(self.frame_idx, out2d.ids, out2d.boxes,
+                                 out2d.mask, jnp.asarray(frames_rgb))
+        result.processing_time = time.perf_counter() - t0
+        self.timing.append(result.processing_time)
+        self.results.append(result)
+        return result
+
+    def deferred_result(self, frame_idx: int) -> Track3DResult:
+        return self.assoc.result_at(frame_idx)

@@ -1,0 +1,197 @@
+"""Host-side track / tracklet / tree bookkeeping.
+
+The reference's MHT data model is a pointer graph of std::list-owned
+objects (Track3D / TrackTree, psn_where/PSNWhere_Types.h:258-469) walked
+recursively (PSNWhere_Types.cpp:544-809).  Variable-topology bookkeeping is
+the one part of the engine that belongs on the host; device code sees only
+padded arrays assembled from these records.  Pointer recursion becomes
+id-indexed dict walks (iterative, no Python recursion limits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Tracklet:
+    """A 2D tracklet (ref stTracklet2D, PSNWhere_Types.h:258-282)."""
+
+    id: int
+    cam: int
+    time_start: int
+    time_end: int
+    duration: int = 1
+    activated: bool = True
+    box: np.ndarray = None            # [4]
+    loc3d: np.ndarray = None          # [3] current ground location
+    bp_top: np.ndarray = None         # [3] back-projection line, z=2000 end
+    bp_bottom: np.ndarray = None      # [3] z=0 end
+    sensitivity: float = 0.0
+    rgb_head: np.ndarray = None       # [48] first-frame histogram
+    rgb_tail: np.ndarray = None       # [48] latest histogram
+    # associability to this frame's new measurements, per camera
+    assoc: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Track:
+    """A 3D track hypothesis (ref Track3D, PSNWhere_Types.h:355-416).
+
+    Per-position arrays cover the whole track life; `n_measured` counts
+    positions up to the last real measurement (dummies appended during a
+    pause sit beyond it, ref Associator3D.cpp:1552-1562)."""
+
+    id: int
+    tree_id: int
+    parent: Optional[int]
+    num_cams: int
+    combination: Tuple[int, ...]      # current tracklet id per cam (-1 none)
+    time_start: int
+    time_end: int
+    time_generation: int
+    children: List[int] = dataclasses.field(default_factory=list)
+    tid_hist: List[List[int]] = None  # tracklet id history per cam
+    active: bool = True
+    valid: bool = True
+    new_track: bool = True
+    current_best: bool = False
+    n_measured: int = 0
+
+    points: np.ndarray = None         # [L, 3]
+    smoothed: np.ndarray = None       # [L, 3]
+    velocity: np.ndarray = None       # [L, 3]
+    raw_points: np.ndarray = None     # [L, C, 3]
+    raw_mask: np.ndarray = None       # [L, C]
+    max_error: np.ndarray = None      # [L]
+    is_meas: np.ndarray = None        # [L]
+    cost_recon_pos: np.ndarray = None  # [L]
+    cost_link_pos: np.ndarray = None   # [L]
+
+    cost_enter: float = 0.0
+    cost_exit: float = 0.0
+    cost_rgb: float = 0.0
+    gt_prob: float = 0.0
+    branch_gt_prob: float = 0.0
+    num_outpoint: int = 0
+
+    # per-camera last-tracklet info (ref Track3D fields, Types.h:409-412)
+    last_t_end: np.ndarray = None     # [C] int
+    last_t_loc: np.ndarray = None     # [C, 3]
+    last_sens: np.ndarray = None      # [C]
+    last_rgb: np.ndarray = None       # [C, 48]
+
+    @property
+    def length(self) -> int:
+        return 0 if self.points is None else len(self.points)
+
+    @property
+    def duration(self) -> int:
+        return self.n_measured
+
+    def total_cost(self) -> float:
+        """(ref GetCost, Associator3D.cpp:2567-2578)"""
+        return (self.cost_enter + float(self.cost_recon_pos.sum())
+                + float(self.cost_link_pos.sum()) + self.cost_rgb
+                + self.cost_exit)
+
+    def point_at(self, frame_idx: int, time_start: Optional[int] = None):
+        """Smoothed position at an absolute frame, or None."""
+        ts = self.time_start if time_start is None else time_start
+        i = frame_idx - ts
+        if i < 0 or i >= self.length:
+            return None
+        return self.smoothed[i]
+
+
+@dataclasses.dataclass
+class TrackTree:
+    """(ref TrackTree, PSNWhere_Types.h:434-469)"""
+
+    id: int
+    time_generation: int
+    valid: bool = True
+    confirmed: bool = False
+    track_ids: List[int] = dataclasses.field(default_factory=list)
+
+
+class TrackRegistry:
+    """Owns all tracks and trees; id-indexed pointer-free tree walks."""
+
+    def __init__(self):
+        self.tracks: Dict[int, Track] = {}
+        self.trees: Dict[int, TrackTree] = {}
+        self.next_track_id = 0
+        self.next_tree_id = 0
+
+    # ---- tree walks (iterative ports of PSNWhere_Types.cpp:616-809) -------
+    def branch_tracks(self, root_id: int) -> List[int]:
+        """All descendants incl. root (ref GetTracksInBranch :660-669)."""
+        out, stack = [], [root_id]
+        while stack:
+            tid = stack.pop()
+            t = self.tracks.get(tid)
+            if t is None:
+                continue
+            out.append(tid)
+            stack.extend(t.children)
+        return out
+
+    def set_branch_validity(self, root_id: int, valid: bool) -> None:
+        """(ref SetValidityFlagInTrackBranch :639-648)"""
+        for tid in self.branch_tracks(root_id):
+            self.tracks[tid].valid = valid
+
+    def oldest_track_in_branch(self, track_id: int,
+                               most_previous_frame: int) -> int:
+        """Climb to the oldest ancestor generated after the pruning time
+        (ref FindOldestTrackInBranch :799-809)."""
+        cur = self.tracks[track_id]
+        while cur.parent is not None:
+            parent = self.tracks.get(cur.parent)
+            if parent is None or most_previous_frame >= parent.time_generation:
+                break
+            cur = parent
+        return cur.id
+
+    def new_tree(self, time_generation: int) -> TrackTree:
+        tree = TrackTree(id=self.next_tree_id,
+                         time_generation=time_generation)
+        self.trees[tree.id] = tree
+        self.next_tree_id += 1
+        return tree
+
+    def add_track(self, track: Track) -> Track:
+        self.tracks[track.id] = track
+        self.trees[track.tree_id].track_ids.append(track.id)
+        if track.parent is not None and track.parent in self.tracks:
+            self.tracks[track.parent].children.append(track.id)
+        return track
+
+    def alloc_track_id(self) -> int:
+        tid = self.next_track_id
+        self.next_track_id += 1
+        return tid
+
+    def gc(self) -> None:
+        """Delete invalid tracks whose tree is invalid; drop empty trees
+        (ref Associator3D.cpp:1694-1714 + 1609-1641)."""
+        dead_trees = [tid for tid, tr in self.trees.items() if not tr.valid]
+        for tree_id in dead_trees:
+            for tid in self.trees[tree_id].track_ids:
+                t = self.tracks.get(tid)
+                if t is not None and not t.valid:
+                    # unlink from parent
+                    if t.parent is not None and t.parent in self.tracks:
+                        p = self.tracks[t.parent]
+                        if tid in p.children:
+                            p.children.remove(tid)
+                    del self.tracks[tid]
+            self.trees[tree_id].track_ids = [
+                tid for tid in self.trees[tree_id].track_ids
+                if tid in self.tracks]
+            if not self.trees[tree_id].track_ids:
+                del self.trees[tree_id]

@@ -62,6 +62,20 @@ def solve_assignment(cost: jnp.ndarray,
       match_cost: [R] float, cost of the match (inf if unmatched).
     """
     r, c = cost.shape
+    if r > c:
+        # the forward auction needs bidders <= objects to terminate; solve
+        # the transposed problem and invert the matching
+        row_of_col, _ = solve_assignment(cost.T, col_mask, row_mask,
+                                         num_iters)
+        col_of_row = jnp.full((r,), -1, jnp.int32)
+        ok = row_of_col >= 0
+        col_of_row = col_of_row.at[jnp.where(ok, row_of_col, r)].set(
+            jnp.arange(c, dtype=jnp.int32), mode="drop")
+        matched = col_of_row >= 0
+        safe = jnp.where(matched, col_of_row, 0)
+        mcost = cost[jnp.arange(r), safe]
+        return (jnp.where(matched, col_of_row, -1),
+                jnp.where(matched, mcost, jnp.inf))
     finite = jnp.isfinite(cost) & row_mask[:, None] & col_mask[None, :]
     maxfin = jnp.max(jnp.where(finite, cost, -jnp.inf))
     maxfin = jnp.where(jnp.isfinite(maxfin), maxfin, 0.0)
@@ -78,9 +92,8 @@ def solve_assignment(cost: jnp.ndarray,
     def round_body(state):
         owner, price, it = state   # owner: [C] int32 row owning col; price: [C]
         col_of_row = jnp.full((r,), -1, jnp.int32)
-        col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r - 1)].set(
-            jnp.where(owner >= 0, jnp.arange(c, dtype=jnp.int32), -1),
-            mode="drop")
+        col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r)].set(
+            jnp.arange(c, dtype=jnp.int32), mode="drop")
         unassigned = (col_of_row < 0) & row_mask
 
         value = benefit - price[None, :]                     # [R, C]
@@ -109,9 +122,8 @@ def solve_assignment(cost: jnp.ndarray,
     def cond(state):
         owner, _, it = state
         col_of_row = jnp.full((r,), -1, jnp.int32)
-        col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r - 1)].set(
-            jnp.where(owner >= 0, jnp.arange(c, dtype=jnp.int32), -1),
-            mode="drop")
+        col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r)].set(
+            jnp.arange(c, dtype=jnp.int32), mode="drop")
         has_finite = jnp.any(finite, axis=1)
         unhappy = jnp.any((col_of_row < 0) & row_mask & has_finite)
         return jnp.logical_and(unhappy, it < num_iters)
@@ -121,8 +133,8 @@ def solve_assignment(cost: jnp.ndarray,
     owner, price, _ = jax.lax.while_loop(cond, round_body, (owner0, price0, 0))
 
     col_of_row = jnp.full((r,), -1, jnp.int32)
-    col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r - 1)].set(
-        jnp.where(owner >= 0, jnp.arange(c, dtype=jnp.int32), -1), mode="drop")
+    col_of_row = col_of_row.at[jnp.where(owner >= 0, owner, r)].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop")
     matched = col_of_row >= 0
     safe_col = jnp.where(matched, col_of_row, 0)
     mcost = cost[jnp.arange(r), safe_col]

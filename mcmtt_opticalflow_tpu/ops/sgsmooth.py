@@ -60,15 +60,20 @@ def smoothing_matrix_np(n: int, span: int, degree: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
+def _sg_matrix_stack_np(capacity: int, span: int, degree: int) -> np.ndarray:
+    out = np.zeros((capacity + 1, capacity, capacity), dtype=np.float32)
+    for n in range(1, capacity + 1):
+        out[n, :n, :n] = smoothing_matrix_np(n, span, degree)
+    return out
+
+
 def sg_smoothing_matrix(capacity: int, span: int, degree: int) -> jnp.ndarray:
     """[capacity+1, capacity, capacity] stack: entry L is the smoothing
     matrix for a length-L sequence, zero-padded to capacity.  Gathered by
     per-track length on device, so variable-length tracks smooth in one
-    batched matmul."""
-    out = np.zeros((capacity + 1, capacity, capacity), dtype=np.float32)
-    for n in range(1, capacity + 1):
-        out[n, :n, :n] = smoothing_matrix_np(n, span, degree)
-    return jnp.asarray(out)
+    batched matmul.  (The cache holds numpy; conversion happens per call so
+    traced contexts never capture a stale tracer.)"""
+    return jnp.asarray(_sg_matrix_stack_np(capacity, span, degree))
 
 
 def sg_smooth(data: jnp.ndarray, span: int = 9, degree: int = 1) -> jnp.ndarray:

@@ -1,0 +1,135 @@
+"""Auxiliary subsystem tests: checkpoint/resume, viz, config, data IO,
+timing, experiment runner."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mcmtt_opticalflow_tpu.config import (EngineConfig, Tracker2DConfig,
+                                          SolverConfig, parse_parameters_txt)
+from mcmtt_opticalflow_tpu.data import (make_scenario, write_detection_file,
+                                        read_detection_file,
+                                        write_ground_truth, read_ground_truth)
+from mcmtt_opticalflow_tpu.data.pets import write_tsai_xml, read_tsai_xml
+from mcmtt_opticalflow_tpu.utils import StageTimer, generate_colors
+from mcmtt_opticalflow_tpu.viz import (draw_overlay, tile_frames, save_ppm,
+                                       draw_top_view)
+
+
+class TestConfig:
+    def test_json_round_trip(self):
+        cfg = EngineConfig(num_cameras=3, cam_ids=(1, 5, 7))
+        cfg2 = EngineConfig.from_json(cfg.to_json())
+        assert cfg2.num_cameras == 3
+        assert cfg2.resolved_cam_ids() == (1, 5, 7)
+        assert cfg2.assoc3d.max_moving_speed == cfg.assoc3d.max_moving_speed
+
+    def test_parameters_txt(self):
+        text = ("% comment\nNUM_EXPERIMENTS=2\nSTART_FRAME_IDX=0\n"
+                "SIZE_OF_KS=1,5,10\nDATASET_PATH=D:/data\n")
+        p = parse_parameters_txt(text)
+        assert p["NUM_EXPERIMENTS"] == 2
+        assert p["SIZE_OF_KS"] == [1, 5, 10]
+        assert p["DATASET_PATH"] == "D:/data"
+
+
+class TestDataIO:
+    def test_detection_round_trip(self, tmp_path):
+        boxes = np.asarray([[10.0, 20.0, 30.0, 60.0],
+                            [100.0, 120.0, 25.0, 50.0]], np.float32)
+        path = str(tmp_path / "frame_0000.txt")
+        write_detection_file(path, boxes)
+        out, parts = read_detection_file(path)
+        np.testing.assert_allclose(out, boxes, rtol=1e-5)
+        assert parts is not None and parts.shape == (2, 8, 4)
+
+    def test_missing_detection_file(self, tmp_path):
+        out, parts = read_detection_file(str(tmp_path / "nope.txt"))
+        assert out.shape == (0, 4)
+
+    def test_gt_round_trip(self, tmp_path):
+        x = np.random.RandomState(0).rand(5, 3) * 100
+        y = np.random.RandomState(1).rand(5, 3) * 100
+        path = str(tmp_path / "groundTruth" / "cropped.txt")
+        write_ground_truth(path, x, y)
+        x2, y2 = read_ground_truth(path)
+        np.testing.assert_allclose(x2, x, atol=1e-3)
+        np.testing.assert_allclose(y2, y, atol=1e-3)
+
+    def test_tsai_xml_round_trip(self, tmp_path):
+        from mcmtt_opticalflow_tpu.geometry import TsaiCamera, image_to_world
+        import jax.numpy as jnp
+        cam = TsaiCamera.create(
+            width=768, height=576, dpx=0.0083, dpy=0.0083, focal=8.0,
+            kappa1=1e-6, cx=384.0, cy=288.0, sx=1.0,
+            tx=100.0, ty=-11000.0, tz=8000.0, rx=2.4, ry=0.2, rz=0.3)
+        path = str(tmp_path / "cam.xml")
+        write_tsai_xml(path, cam, rx=2.4, ry=0.2, rz=0.3)
+        cam2 = read_tsai_xml(path)
+        p = jnp.asarray([400.0, 300.0])
+        w1 = np.asarray(image_to_world(cam, p, 0.0))
+        w2 = np.asarray(image_to_world(cam2, p, 0.0))
+        np.testing.assert_allclose(w1, w2, atol=1.0)
+
+
+class TestCheckpoint:
+    def test_snapshot_resume(self, tmp_path):
+        from mcmtt_opticalflow_tpu.checkpoint import (save_snapshot,
+                                                      load_snapshot)
+        from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+        sc = make_scenario(num_cameras=2, num_frames=6, num_people=2,
+                           image_size=(128, 96), arena=3000.0, seed=5)
+        cfg = EngineConfig(
+            num_cameras=2, image_width=128, image_height=96,
+            tracker2d=Tracker2DConfig(max_detections=8, max_trackers=16,
+                                      max_features=16, lk_window=8,
+                                      lk_pyramid_levels=2, lk_iterations=4),
+            solver=SolverConfig(num_replicas=2, max_vertices=32,
+                                solutions_per_replica=4, max_iterations=100))
+        eng = TrackingEngine(cfg, sc.cameras)
+        for t in range(3):
+            eng.process_frame(np.stack(sc.frames(t)), sc.detections[t],
+                              frame_idx=t)
+        path = str(tmp_path / "snap.pkl")
+        save_snapshot(eng, path)
+        n_tracks = len(eng.assoc.registry.tracks)
+
+        eng2 = TrackingEngine(cfg, sc.cameras)
+        saved_frame = load_snapshot(eng2, path)
+        assert saved_frame == 2
+        assert len(eng2.assoc.registry.tracks) == n_tracks
+        assert eng2.assoc.best_solution == eng.assoc.best_solution
+        # resumed engine continues
+        r = eng2.process_frame(np.stack(sc.frames(3)), sc.detections[3],
+                               frame_idx=3)
+        assert r.frame_idx == 3
+
+
+class TestVizAndUtils:
+    def test_overlay_and_tile(self):
+        frame = np.zeros((32, 48, 3), np.float32)
+        out = draw_overlay(frame, [[4, 4, 10, 12]], [3])
+        assert out.sum() > 0
+        tiled = tile_frames([frame, frame, frame, frame])
+        assert tiled.shape == (64, 96, 3)
+
+    def test_top_view_and_ppm(self, tmp_path):
+        pts = [np.asarray([[100.0, 200.0, 0.0]]) for _ in range(5)]
+        ids = [[1]] * 5
+        img = draw_top_view(pts, ids, extent=1000.0, size=64)
+        assert img.shape == (64, 64, 3)
+        p = str(tmp_path / "x.ppm")
+        save_ppm(p, img)
+        assert os.path.getsize(p) > 64 * 64 * 3
+
+    def test_colors_distinct(self):
+        c = generate_colors(16)
+        assert c.shape == (16, 3)
+        assert len({tuple(np.round(x, 3)) for x in c}) == 16
+
+    def test_stage_timer(self):
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        assert "a" in t.summary()

@@ -11,6 +11,7 @@ is real-time factor: fps / 7.0.  Prints ONE JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,6 +49,8 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = num_frames / elapsed
+    if os.environ.get("BENCH_VERBOSE"):
+        print(eng.assoc.timer.summary(), file=sys.stderr)
     print(json.dumps({
         "metric": "end_to_end_frames_per_sec_4cam_768x576",
         "value": round(fps, 3),

@@ -20,8 +20,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera
-from mcmtt_opticalflow_tpu.geometry import world_to_image
-import jax.numpy as jnp
+from mcmtt_opticalflow_tpu.geometry.tsai_np import HostCamera
 
 
 def ring_cameras(num_cameras: int,
@@ -82,6 +81,11 @@ class SyntheticScenario:
     # per-person visual textures for rendering
     _textures: Optional[np.ndarray] = None
     _background: Optional[np.ndarray] = None
+    _host_cams: Optional[list] = None
+
+    def __post_init__(self):
+        if self._host_cams is None:
+            self._host_cams = [HostCamera(c) for c in self.cameras]
 
     def gt_matrices(self) -> Tuple[np.ndarray, np.ndarray]:
         """X, Y matrices in the reference evaluator's layout [T, P]
@@ -94,16 +98,15 @@ class SyntheticScenario:
         """[H, W, 3] float32 image in [0, 1] with textured pedestrians."""
         w, h = self.image_size
         img = self._background.copy()
-        cam = self.cameras[cam_idx]
+        cam = self._host_cams[cam_idx]
         order = []  # paint far people first (approx by image y of feet)
         for p in range(self.num_people):
             xy = self.gt_xy[t, p]
             if np.isnan(xy[0]):
                 continue
-            feet = np.asarray(world_to_image(
-                cam, jnp.asarray([xy[0], xy[1], 0.0])))
-            head = np.asarray(world_to_image(
-                cam, jnp.asarray([xy[0], xy[1], self.heights[p]])))
+            feet = cam.world_to_image(np.asarray([xy[0], xy[1], 0.0]))
+            head = cam.world_to_image(
+                np.asarray([xy[0], xy[1], self.heights[p]]))
             order.append((feet[1], p, feet, head))
         order.sort()
         for _, p, feet, head in order:
@@ -181,20 +184,21 @@ def make_scenario(num_cameras: int = 4,
     heights = rng.uniform(1550.0, 1900.0, size=num_people)
 
     w, h = image_size
+    host_cams = [HostCamera(c) for c in cams]
     detections: List[List[np.ndarray]] = []
     for t in range(num_frames):
         per_cam = []
-        for cam in cams:
+        for cam in host_cams:
             boxes = []
             for p in range(num_people):
                 if np.isnan(gt[t, p, 0]):
                     continue
                 if rng.rand() < fn_rate:
                     continue
-                feet = np.asarray(world_to_image(
-                    cam, jnp.asarray([gt[t, p, 0], gt[t, p, 1], 0.0])))
-                head = np.asarray(world_to_image(
-                    cam, jnp.asarray([gt[t, p, 0], gt[t, p, 1], heights[p]])))
+                feet = cam.world_to_image(
+                    np.asarray([gt[t, p, 0], gt[t, p, 1], 0.0]))
+                head = cam.world_to_image(
+                    np.asarray([gt[t, p, 0], gt[t, p, 1], heights[p]]))
                 if not (np.isfinite(feet).all() and np.isfinite(head).all()):
                     continue
                 bh = abs(feet[1] - head[1])

@@ -24,40 +24,43 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera, image_to_world
+from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera
 
 
 def _pixel_grid(width: int, height: int, stride: int):
-    us = np.arange(0, width, stride, dtype=np.float32)
-    vs = np.arange(0, height, stride, dtype=np.float32)
-    uu, vv = np.meshgrid(us, vs)               # [H', W']
-    return jnp.asarray(np.stack([uu, vv], -1))  # [H', W', 2]
+    us = np.arange(0, width, stride, dtype=np.float64)
+    vs = np.arange(0, height, stride, dtype=np.float64)
+    uu, vv = np.meshgrid(us, vs)              # [H', W']
+    return np.stack([uu, vv], -1)             # [H', W', 2]
 
 
 def projection_sensitivity_map(cam: TsaiCamera, width: int, height: int,
-                               stride: int = 4) -> jnp.ndarray:
-    """[H/stride, W/stride] float32 map of mm-per-pixel at ground height."""
+                               stride: int = 4) -> np.ndarray:
+    """[H/stride, W/stride] float32 map of mm-per-pixel at ground height.
+    Computed on host (init-time, one-off — no device round trips)."""
+    from mcmtt_opticalflow_tpu.geometry.tsai_np import HostCamera
+    hc = HostCamera(cam)
     uv = _pixel_grid(width, height, stride)
-    g0 = image_to_world(cam, uv, 0.0)[..., :2]
-    gu = image_to_world(cam, uv + jnp.asarray([1.0, 0.0]), 0.0)[..., :2]
-    gv = image_to_world(cam, uv + jnp.asarray([0.0, 1.0]), 0.0)[..., :2]
-    du = jnp.linalg.norm(gu - g0, axis=-1)
-    dv = jnp.linalg.norm(gv - g0, axis=-1)
-    sens = jnp.maximum(du, dv)
-    return jnp.nan_to_num(sens, nan=1e6, posinf=1e6)
+    g0 = hc.image_to_world(uv, 0.0)[..., :2]
+    gu = hc.image_to_world(uv + np.asarray([1.0, 0.0]), 0.0)[..., :2]
+    gv = hc.image_to_world(uv + np.asarray([0.0, 1.0]), 0.0)[..., :2]
+    du = np.linalg.norm(gu - g0, axis=-1)
+    dv = np.linalg.norm(gv - g0, axis=-1)
+    sens = np.maximum(du, dv)
+    return np.nan_to_num(sens, nan=1e6, posinf=1e6).astype(np.float32)
 
 
 def distance_from_boundary_map(cam: TsaiCamera, width: int, height: int,
-                               stride: int = 4) -> jnp.ndarray:
+                               stride: int = 4) -> np.ndarray:
     """[H/stride, W/stride] float32 map: ground-plane mm from each pixel's
     ground point to the FOV boundary (pixel distance to the image border
     scaled by local sensitivity)."""
     uv = _pixel_grid(width, height, stride)
     u, v = uv[..., 0], uv[..., 1]
-    pix_dist = jnp.minimum(jnp.minimum(u, width - 1 - u),
-                           jnp.minimum(v, height - 1 - v))
+    pix_dist = np.minimum(np.minimum(u, width - 1 - u),
+                          np.minimum(v, height - 1 - v))
     sens = projection_sensitivity_map(cam, width, height, stride)
-    return pix_dist * sens
+    return (pix_dist * sens).astype(np.float32)
 
 
 def sample_map(map2d: jnp.ndarray, uv: jnp.ndarray, width: int, height: int,

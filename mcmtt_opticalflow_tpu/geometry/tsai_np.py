@@ -1,0 +1,105 @@
+"""Numpy mirror of the Tsai camera model for host-side scalar queries.
+
+The device path (geometry/tsai.py) serves the batched per-frame programs;
+host bookkeeping (enter/exit costs, visibility checks, side-map sampling)
+needs single-point projections where a device dispatch per call would be
+pure overhead — especially through a remote-TPU tunnel.  Same math, same
+field names (ref psn_where/calibration/cameraModel.cpp:494-663).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _cam_floats(cam):
+    """Pull TsaiCamera leaves to python floats once."""
+    return {f: float(np.asarray(getattr(cam, f)))
+            for f in cam._fields}
+
+
+class HostCamera:
+    """Host-side projection for a single TsaiCamera."""
+
+    def __init__(self, cam):
+        self.p = _cam_floats(cam)
+
+    def world_to_image(self, xyz: np.ndarray) -> np.ndarray:
+        """[..., 3] -> [..., 2] (ref cameraModel.cpp:545-577)."""
+        p = self.p
+        xyz = np.asarray(xyz, np.float64)
+        xw, yw, zw = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        xc = p["r11"] * xw + p["r12"] * yw + p["r13"] * zw + p["tx"]
+        yc = p["r21"] * xw + p["r22"] * yw + p["r23"] * zw + p["ty"]
+        zc = p["r31"] * xw + p["r32"] * yw + p["r33"] * zw + p["tz"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xu = p["focal"] * xc / zc
+            yu = p["focal"] * yc / zc
+        xd, yd = _undistort_to_distort(p["kappa1"], xu, yu)
+        xi = xd * p["sx"] / p["dpx"] + p["cx"]
+        yi = yd / p["dpy"] + p["cy"]
+        return np.stack([xi, yi], -1)
+
+    def image_to_world(self, uv: np.ndarray, zw: float) -> np.ndarray:
+        """[..., 2] -> [..., 3] at world height zw (ref :494-533)."""
+        p = self.p
+        uv = np.asarray(uv, np.float64)
+        xi, yi = uv[..., 0], uv[..., 1]
+        xd = p["dpx"] * (xi - p["cx"]) / p["sx"]
+        yd = p["dpy"] * (yi - p["cy"])
+        factor = 1.0 + p["kappa1"] * (xd * xd + yd * yd)
+        xu, yu = xd * factor, yd * factor
+        den = ((p["r11"] * p["r32"] - p["r12"] * p["r31"]) * yu
+               + (p["r22"] * p["r31"] - p["r21"] * p["r32"]) * xu
+               - p["focal"] * p["r11"] * p["r22"]
+               + p["focal"] * p["r12"] * p["r21"])
+        xw = (((p["r12"] * p["r33"] - p["r13"] * p["r32"]) * yu
+               + (p["r23"] * p["r32"] - p["r22"] * p["r33"]) * xu
+               - p["focal"] * p["r12"] * p["r23"]
+               + p["focal"] * p["r13"] * p["r22"]) * zw
+              + (p["r12"] * p["tz"] - p["r32"] * p["tx"]) * yu
+              + (p["r32"] * p["ty"] - p["r22"] * p["tz"]) * xu
+              - p["focal"] * p["r12"] * p["ty"]
+              + p["focal"] * p["r22"] * p["tx"]) / den
+        yw = -(((p["r11"] * p["r33"] - p["r13"] * p["r31"]) * yu
+                + (p["r23"] * p["r31"] - p["r21"] * p["r33"]) * xu
+                - p["focal"] * p["r11"] * p["r23"]
+                + p["focal"] * p["r13"] * p["r21"]) * zw
+               + (p["r11"] * p["tz"] - p["r31"] * p["tx"]) * yu
+               + (p["r31"] * p["ty"] - p["r21"] * p["tz"]) * xu
+               - p["focal"] * p["r11"] * p["ty"]
+               + p["focal"] * p["r21"] * p["tx"]) / den
+        zout = np.broadcast_to(zw, np.shape(xw))
+        return np.stack([xw, yw, zout], -1)
+
+    def visible(self, xyz: np.ndarray) -> np.ndarray:
+        uv = self.world_to_image(xyz)
+        u, v = uv[..., 0], uv[..., 1]
+        return (np.isfinite(u) & np.isfinite(v)
+                & (u >= 0) & (u < self.p["width"])
+                & (v >= 0) & (v < self.p["height"]))
+
+
+def _undistort_to_distort(kappa1, xu, yu):
+    """Cardano inverse of the radial distortion (ref :579-663), numpy."""
+    xu = np.asarray(xu, np.float64)
+    yu = np.asarray(yu, np.float64)
+    if kappa1 == 0.0:
+        return xu, yu
+    ru = np.hypot(xu, yu)
+    c = 1.0 / kappa1
+    d = -c * ru
+    q = c / 3.0
+    r = -d / 2.0
+    disc = q ** 3 + r ** 2
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    rd_one = np.cbrt(r + sq) + np.cbrt(r - sq)
+    rd_max = np.sqrt(np.maximum(-1.0 / (3.0 * kappa1), 0.0))
+    rd_one = np.where(rd_one < 0.0, rd_max, rd_one)
+    sqn = np.sqrt(np.maximum(-disc, 0.0))
+    s3 = np.cbrt(np.sqrt(r ** 2 + np.maximum(-disc, 0.0)))
+    th = np.arctan2(sqn, r) / 3.0
+    rd_three = -s3 * np.cos(th) + np.sqrt(3.0) * s3 * np.sin(th)
+    rd = np.where(disc >= 0.0, rd_one, rd_three)
+    lam = np.where(ru == 0.0, 1.0, rd / np.where(ru == 0.0, 1.0, ru))
+    return np.where(ru == 0.0, xu, xu * lam), np.where(ru == 0.0, yu, yu * lam)

@@ -1,0 +1,121 @@
+"""CLI experiment driver (the reference's _tmain, psn_where/main.cpp:87-172).
+
+Usage:
+  python -m mcmtt_opticalflow_tpu.main <parameters.txt>   # dataset run
+  python -m mcmtt_opticalflow_tpu.main --synthetic        # built-in demo
+
+Reads the reference's parameters.txt keys (DATASET_PATH, START/END_FRAME_IDX,
+NUM_EXPERIMENTS, SIZE_OF_KS, NUM_FRAMES_FOR_CONFIRMATION —
+ref main.cpp:200-221), sweeps K x repeats, runs the engine, and prints the
+per-window CLEAR-MOT table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def run_synthetic(args):
+    from mcmtt_opticalflow_tpu.config import (EngineConfig, SolverConfig,
+                                              Tracker2DConfig)
+    from mcmtt_opticalflow_tpu.data import make_scenario
+    from mcmtt_opticalflow_tpu.eval.experiment import k_sweep
+    from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+
+    sc = make_scenario(num_cameras=args.cameras, num_frames=args.frames,
+                       num_people=args.people, image_size=(384, 288),
+                       arena=6000.0, seed=args.seed)
+    gx, gy = sc.gt_matrices()
+    zone = (-12000.0, -12000.0, 12000.0, 12000.0)
+
+    def make_engine(k):
+        cfg = EngineConfig(
+            num_cameras=args.cameras, image_width=384, image_height=288,
+            tracker2d=Tracker2DConfig(max_detections=16, max_trackers=32,
+                                      max_features=16, lk_window=8),
+            solver=SolverConfig(num_replicas=4, max_vertices=128,
+                                max_iterations=500))
+        cfg = dataclasses.replace(
+            cfg, assoc3d=dataclasses.replace(cfg.assoc3d, k_best_size=k))
+        return TrackingEngine(cfg, sc.cameras)
+
+    results = k_sweep(make_engine,
+                      lambda t: np.stack(sc.frames(t)),
+                      lambda t: sc.detections[t],
+                      sc.num_frames, (gx, gy), zone,
+                      ks=args.ks, num_experiments=args.repeats,
+                      deferred_windows=args.windows)
+    for r in results:
+        print(f"== K={r.k} repeat={r.repeat} fps={r.fps:.2f}")
+        for w, ev in sorted(r.per_window.items()):
+            print(f"   window={w:2d}  {ev.summary()}")
+
+
+def run_dataset(args):
+    from mcmtt_opticalflow_tpu.config import (EngineConfig,
+                                              parse_parameters_txt)
+    from mcmtt_opticalflow_tpu.data import (read_detection_file,
+                                            read_ground_truth, read_tsai_xml)
+    from mcmtt_opticalflow_tpu.eval.experiment import run_sequence
+    from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+
+    params = parse_parameters_txt(open(args.parameters).read())
+    root = params.get("DATASET_PATH", ".")
+    start = int(params.get("START_FRAME_IDX", 0))
+    end = int(params.get("END_FRAME_IDX", 100))
+    cam_ids = params.get("CAM_IDS", [1, 5, 7])
+    if isinstance(cam_ids, int):
+        cam_ids = [cam_ids]
+
+    cams = [read_tsai_xml(os.path.join(
+        root, "calibrationInfos", f"View_{cid:03d}.xml")) for cid in cam_ids]
+    cfg = EngineConfig(num_cameras=len(cams), cam_ids=tuple(cam_ids),
+                       image_width=int(cams[0].width),
+                       image_height=int(cams[0].height),
+                       start_frame=start, end_frame=end)
+    eng = TrackingEngine(cfg, cams)
+
+    def dets(t):
+        return [read_detection_file(os.path.join(
+            root, f"View_{cid:03d}", "detectionResult",
+            f"frame_{t:04d}.txt"))[0] for cid in cam_ids]
+
+    def frames(t):
+        # image loading left to the deployment (JPEG decode); detections-only
+        # runs feed flat gray frames
+        return np.full((len(cams), cfg.image_height, cfg.image_width, 3),
+                       0.5, np.float32)
+
+    gt_path = os.path.join(root, "groundTruth", "cropped.txt")
+    gt = read_ground_truth(gt_path) if os.path.exists(gt_path) else None
+    zone = (-14069.6, -14274.0, 4981.3, 1733.5)
+    per_window = run_sequence(eng, frames, dets, end - start + 1, gt, zone)
+    for w, ev in sorted(per_window.items()):
+        print(f"window={w:2d}  {ev.summary()}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("parameters", nargs="?", help="parameters.txt path")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--cameras", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--people", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ks", type=int, nargs="+", default=[10])
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--windows", type=int, default=3)
+    args = ap.parse_args()
+    if args.synthetic or not args.parameters:
+        run_synthetic(args)
+    else:
+        run_dataset(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,8 @@ from mcmtt_opticalflow_tpu.geometry.sidemaps import (
 from mcmtt_opticalflow_tpu.models.costs import (
     score_track_windows, link_probability, enter_probability, exit_cost,
     reconstruction_probability)
-from mcmtt_opticalflow_tpu.models.mwcp import solve_mwcp, collect_k_best
+from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp, solve_mwcp_batch,
+                                               collect_k_best)
 from mcmtt_opticalflow_tpu.models.trees import (
     Track, TrackRegistry, Tracklet)
 from mcmtt_opticalflow_tpu.ops.histogram import rgb_histogram, rgb_cost
@@ -54,6 +55,22 @@ def _bucket(n: int, lo: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _link_prob_np(p1, p2, time_gap: float, max_speed: float) -> float:
+    """Host scalar of models.costs.link_probability (numpy, no dispatch)."""
+    from scipy.special import erfc
+    d = float(np.linalg.norm(np.asarray(p1) - np.asarray(p2)))
+    return 0.5 * float(erfc(4.0 * d / (max_speed * max(time_gap, 1.0)) - 2.0))
+
+
+def _rgb_cost_np(f1, f2, time_gap: float, min_dist: float, coef: float,
+                 decay: float) -> float:
+    """Host scalar of ops.histogram.rgb_cost."""
+    n2 = float(np.sum((np.asarray(f1) - np.asarray(f2)) ** 2))
+    if n2 <= min_dist:
+        return 0.0
+    return coef * float(np.exp(-decay * (time_gap - 1.0))) * (n2 - min_dist)
 
 
 @dataclasses.dataclass
@@ -91,6 +108,9 @@ class Associator3D:
         self.bound_maps = [np.asarray(distance_from_boundary_map(
             c, w, h, _MAP_STRIDE)) for c in cameras]
 
+        from mcmtt_opticalflow_tpu.geometry.tsai_np import HostCamera
+        self.host_cams = [HostCamera(c) for c in cameras]
+
         self.registry = TrackRegistry()
         self.tracklets: List[Dict[int, Tracklet]] = [
             {} for _ in range(self.num_cams)]
@@ -107,6 +127,8 @@ class Associator3D:
         self.frame_idx = -1
         self.num_frames_proc = 0
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
+        from mcmtt_opticalflow_tpu.utils.timing import StageTimer
+        self.timer = StageTimer()
 
         # window capacity for device scoring: covers re-smoothing reach
         self.win = max(2 * self.acfg.sg_span + 2,
@@ -150,6 +172,17 @@ class Associator3D:
             return 0.5 * gap
 
         self._pair_distance = pair_distance
+
+        @jax.jit
+        def all_pair_distance(act_top, act_bot, new_top, new_bot):
+            """All camera pairs in one call:
+            [C, A, 3] x [C, B, 3] -> [C, A, C, B] distances."""
+            _, gap = triangulate_two_lines(
+                act_top[:, :, None, None], act_bot[:, :, None, None],
+                new_top[None, None, :, :], new_bot[None, None, :, :])
+            return 0.5 * gap
+
+        self._all_pair_distance = all_pair_distance
 
         @functools.partial(jax.jit, static_argnames=())
         def score_windows(points, raw_points, raw_mask, max_error, lengths):
@@ -217,64 +250,119 @@ class Associator3D:
     def _distance_from_boundary(self, points: np.ndarray) -> float:
         """max over cameras of the boundary-distance map at the projected
         pixel (ref GetDistanceFromBoundary, Associator3D.cpp:1076-1087);
-        -100 when invisible everywhere."""
+        -100 when invisible everywhere.  Pure host math — no dispatch."""
         best = -100.0
         pts = np.atleast_2d(points)
-        for p in pts:
-            for c, cam in enumerate(self.cameras):
-                uv = np.asarray(world_to_image(cam, jnp.asarray(p)))
+        for c, hc in enumerate(self.host_cams):
+            uvs = hc.world_to_image(pts)
+            m = self.bound_maps[c]
+            for uv in np.atleast_2d(uvs):
                 if not (np.isfinite(uv).all()
                         and 0 <= uv[0] < self.cfg.image_width
                         and 0 <= uv[1] < self.cfg.image_height):
                     continue
-                m = self.bound_maps[c]
                 iu = int(np.clip(uv[0] / _MAP_STRIDE, 0, m.shape[1] - 1))
                 iv = int(np.clip(uv[1] / _MAP_STRIDE, 0, m.shape[0] - 1))
                 best = max(best, float(m[iv, iu]))
         return best
 
     def _enter_cost(self, points: np.ndarray) -> float:
+        """(ref ComputeEnterProbability :2267-2277, host numpy)"""
+        if self.num_frames_proc <= self.acfg.enter_penalty_free_length:
+            return 0.0
         d = self._distance_from_boundary(points)
-        penalty_free = self.num_frames_proc <= self.acfg.enter_penalty_free_length
-        return float(np.asarray(enter_probability(
-            jnp.asarray(d), jnp.asarray(penalty_free), self.acfg)))
+        a = self.acfg
+        if d < 0 or d <= a.boundary_distance:
+            p = 1.0
+        else:
+            p = a.p_en_max * np.exp(-a.p_en_decay * (d - a.boundary_distance))
+        return float(min(a.cost_enter_max, -np.log(max(p, 1e-300))))
 
     def _exit_cost(self, points: np.ndarray, length: int) -> float:
+        """(ref ComputeExitProbability :2288-2303, host numpy)"""
         d = self._distance_from_boundary(points)
-        return float(np.asarray(exit_cost(
-            jnp.asarray(d), jnp.asarray(float(length)), self.acfg)))
+        a = self.acfg
+        if d < 0:
+            p = 1.0
+        elif d < a.boundary_distance:
+            p = a.p_ex_max
+        else:
+            p = (a.p_ex_max
+                 * np.exp(-a.p_ex_decay_dist * (d - a.boundary_distance))
+                 * np.exp(-a.p_ex_decay_length
+                          * max(0.0, length - a.num_frames_for_confirmation)))
+        return float(min(a.cost_exit_max, -np.log(max(p, 1e-300))))
 
     def _visible_anywhere(self, point: np.ndarray) -> bool:
-        for cam in self.cameras:
-            uv = np.asarray(world_to_image(cam, jnp.asarray(point)))
-            if (np.isfinite(uv).all() and 0 <= uv[0] < self.cfg.image_width
-                    and 0 <= uv[1] < self.cfg.image_height):
-                return True
-        return False
+        return any(bool(hc.visible(point)) for hc in self.host_cams)
 
     # ------------------------------------------------------------------
     # reconstruction (host assembly; heavy math stays on device in the
     # batched window scorer — this covers single new positions)
     # ------------------------------------------------------------------
     def _reconstruct(self, combination: Tuple[int, ...]):
-        """Ground-plane reconstruction of one tracklet combination
-        (ref PointReconstruction, full-body branch, :830-856).
+        """Reconstruction of one tracklet combination.
+
+        Full-body mode: mean of per-camera ground points
+        (ref PointReconstruction full-body branch, :830-856 +
+        NViewGroundingPointReconstruction :995-1046).
+        Head mode: least-squares intersection of back-projection lines
+        (ref head branch :857-884 + NViewPointReconstruction :930-982).
 
         Returns (point [3], raw_points [C, 3], raw_mask [C], max_error,
         cost_recon) or None if infeasible."""
         locs = np.zeros((self.num_cams, 3))
         mask = np.zeros((self.num_cams,), bool)
         max_error = self.acfg.e_cal
+        tks = {}
         for c, tid in enumerate(combination):
             if tid < 0:
                 continue
             tk = self.tracklets[c][tid]
+            tks[c] = tk
             locs[c] = tk.loc3d
             mask[c] = True
             max_error += self.acfg.e_det * tk.sensitivity
         num = int(mask.sum())
         if num == 0:
             return None
+        if self.acfg.detection_mode == "head":
+            # max-based error and line-meet point (ref :871, :879-881)
+            max_error = self.acfg.e_cal
+            for c in tks:
+                max_error = max(max_error,
+                                self.acfg.e_det * tks[c].sensitivity)
+            if not self.acfg.consider_sensitivity:
+                max_error = self.acfg.max_body_width / 2.0
+            if num < 2:
+                point = next(iter(tks.values())).bp_bottom.astype(np.float64)
+                mean_dist = self.acfg.max_tracklet_distance / 2.0
+                prob = 0.5
+            else:
+                # host 3x3 LS line meet: A = sum (vv^T - I)^T (vv^T - I)
+                # (numpy version of ref NViewPointReconstruction :930-982)
+                a_mat = np.zeros((3, 3))
+                b_vec = np.zeros(3)
+                dirs, origins = [], []
+                for c in tks:
+                    v = tks[c].bp_bottom - tks[c].bp_top
+                    v = v / max(np.linalg.norm(v), 1e-12)
+                    pmat = np.outer(v, v) - np.eye(3)
+                    pp = pmat.T @ pmat
+                    a_mat += pp
+                    b_vec += pp @ tks[c].bp_top
+                    dirs.append(v)
+                    origins.append(tks[c].bp_top)
+                point = np.linalg.solve(a_mat, b_vec)
+                mean_dist = float(np.mean([
+                    np.linalg.norm(o + np.dot(v, point - o) * v - point)
+                    for v, o in zip(dirs, origins)]))
+                if mean_dist > max_error:
+                    return None
+                from scipy.special import erfc
+                prob = 0.5 * erfc(4.0 * mean_dist / max_error - 2.0)
+            return self._finish_reconstruction(point, locs, mask, max_error,
+                                               prob)
         point = locs[mask].mean(0)
         if num < 2:
             mean_dist = self.acfg.max_body_width / 2.0
@@ -285,6 +373,9 @@ class Associator3D:
                 return None
             from scipy.special import erfc
             prob = 0.5 * erfc(4.0 * mean_dist / max_error - 2.0)
+        return self._finish_reconstruction(point, locs, mask, max_error, prob)
+
+    def _finish_reconstruction(self, point, locs, mask, max_error, prob):
         # detection likelihood ratio (ref :900-912)
         ratio = 1.0
         for c in range(self.num_cams):
@@ -299,9 +390,7 @@ class Associator3D:
         return point, locs, mask, max_error, float(cost)
 
     def _visible_anywhere_cam(self, point, c) -> bool:
-        uv = np.asarray(world_to_image(self.cameras[c], jnp.asarray(point)))
-        return (np.isfinite(uv).all() and 0 <= uv[0] < self.cfg.image_width
-                and 0 <= uv[1] < self.cfg.image_height)
+        return bool(self.host_cams[c].visible(point))
 
     # ==================================================================
     # per-frame step
@@ -319,14 +408,22 @@ class Associator3D:
         self.frame_idx = frame_idx
         self.num_frames_proc += 1
 
-        self._update_tracklets(frame_idx, np.asarray(ids), np.asarray(boxes),
-                               np.asarray(mask), rgb_frames)
-        self._update_tracks(frame_idx)
-        seeds = self._generate_seeds(frame_idx)
-        self._branch_tracks(frame_idx, seeds)
-        self._form_hypotheses(frame_idx, seeds)
-        self._prune(frame_idx)
-        self.registry.gc()
+        t = self.timer
+        with t.stage("assoc.tracklets"):
+            self._update_tracklets(frame_idx, np.asarray(ids),
+                                   np.asarray(boxes), np.asarray(mask),
+                                   rgb_frames)
+        with t.stage("assoc.update_tracks"):
+            self._update_tracks(frame_idx)
+        with t.stage("assoc.seeds"):
+            seeds = self._generate_seeds(frame_idx)
+        with t.stage("assoc.branch"):
+            self._branch_tracks(frame_idx, seeds)
+        with t.stage("assoc.hypotheses"):
+            self._form_hypotheses(frame_idx, seeds)
+        with t.stage("assoc.prune"):
+            self._prune(frame_idx)
+            self.registry.gc()
         return self._package_result(frame_idx)
 
     # ------------------------------------------------------------------
@@ -389,33 +486,36 @@ class Associator3D:
         any_new = any(self.new_measurements[c] for c in range(self.num_cams))
         if not any_new:
             return
-        def pad_lines(tracklets, n):
-            top = np.zeros((n, 3), np.float32)
-            bot = np.zeros((n, 3), np.float32)
-            for i, t in enumerate(tracklets):
-                top[i] = t.bp_top
-                bot[i] = t.bp_bottom
-            return jnp.asarray(top), jnp.asarray(bot)
-
+        # one device call for every (active tracklet, new measurement)
+        # camera pair (the reference's O(T*M) per-pair loop, :1233-1268)
+        acts = [[self.tracklets[c][t] for t in self.active_tracklets[c]]
+                for c in range(self.num_cams)]
+        news = [[self.tracklets[c][t] for t in self.new_measurements[c]]
+                for c in range(self.num_cams)]
+        na = _bucket(max([len(a) for a in acts] + [1]))
+        nb = _bucket(max([len(b) for b in news] + [1]))
+        act_top = np.zeros((self.num_cams, na, 3), np.float32)
+        act_bot = np.zeros_like(act_top)
+        new_top = np.zeros((self.num_cams, nb, 3), np.float32)
+        new_bot = np.zeros_like(new_top)
+        for c in range(self.num_cams):
+            for i, t in enumerate(acts[c]):
+                act_top[c, i] = t.bp_top
+                act_bot[c, i] = t.bp_bottom
+            for i, t in enumerate(news[c]):
+                new_top[c, i] = t.bp_top
+                new_bot[c, i] = t.bp_bottom
+        d = np.asarray(self._all_pair_distance(
+            jnp.asarray(act_top), jnp.asarray(act_bot),
+            jnp.asarray(new_top), jnp.asarray(new_bot)))
+        ok = d <= self.acfg.max_tracklet_distance
         for c1 in range(self.num_cams):
-            act = [self.tracklets[c1][t] for t in self.active_tracklets[c1]]
-            if not act:
-                continue
-            na = _bucket(len(act))
-            top1, bot1 = pad_lines(act, na)
-            for c2 in range(self.num_cams):
-                new = [self.tracklets[c2][t]
-                       for t in self.new_measurements[c2]]
-                if c1 == c2 or not new:
-                    for t in act:
-                        t.assoc[c2] = np.zeros(len(new), bool)
-                    continue
-                nb = _bucket(len(new))
-                top2, bot2 = pad_lines(new, nb)
-                d = np.asarray(self._pair_distance(top1, bot1, top2, bot2))
-                ok = d <= self.acfg.max_tracklet_distance
-                for i, t in enumerate(act):
-                    t.assoc[c2] = ok[i, :len(new)]
+            for i, t in enumerate(acts[c1]):
+                for c2 in range(self.num_cams):
+                    if c1 == c2:
+                        t.assoc[c2] = np.zeros(len(news[c2]), bool)
+                    else:
+                        t.assoc[c2] = ok[c1, i, c2, :len(news[c2])]
 
     # ------------------------------------------------------------------
     # 7c. track update (ref Track3D_UpdateTracks :1379-1715)
@@ -459,9 +559,8 @@ class Associator3D:
                 tr.valid = False
                 continue
             point, raws, rmask, max_err, cost_rec = rec
-            p_link = float(np.asarray(link_probability(
-                jnp.asarray(tr.points[-1]), jnp.asarray(point), 1.0,
-                self.acfg.max_moving_speed)))
+            p_link = _link_prob_np(tr.points[-1], point, 1.0,
+                                   self.acfg.max_moving_speed)
             if p_link < self.acfg.min_linking_probability:
                 tr.valid = False
                 continue
@@ -767,9 +866,8 @@ class Associator3D:
             prev_pt = parent.points[0]
         else:
             prev_pt = parent.points[-2]
-        p_link = float(np.asarray(link_probability(
-            jnp.asarray(prev_pt), jnp.asarray(point), 1.0,
-            self.acfg.max_moving_speed)))
+        p_link = _link_prob_np(prev_pt, point, 1.0,
+                               self.acfg.max_moving_speed)
         if p_link < self.acfg.min_linking_probability:
             return None
         reg = self.registry
@@ -795,9 +893,8 @@ class Associator3D:
             return None
         last_meas = paused.points[paused.n_measured - 1]
         seed_pt = seed.points[0]
-        p_link = float(np.asarray(link_probability(
-            jnp.asarray(last_meas), jnp.asarray(seed_pt), float(gap),
-            self.acfg.max_moving_speed)))
+        p_link = _link_prob_np(last_meas, seed_pt, float(gap),
+                               self.acfg.max_moving_speed)
         if p_link < self.acfg.min_linking_probability:
             return None
         reg = self.registry
@@ -865,11 +962,10 @@ class Associator3D:
                                  * (tr.last_sens[c] + tk.sensitivity))
                     if gap <= 1 and d > thresh:
                         return False
-                    tr.cost_rgb += float(np.asarray(rgb_cost(
-                        jnp.asarray(tr.last_rgb[c]),
-                        jnp.asarray(tk.rgb_head), float(gap),
+                    tr.cost_rgb += _rgb_cost_np(
+                        tr.last_rgb[c], tk.rgb_head, float(gap),
                         self.acfg.cost_rgb_min_dist, self.acfg.cost_rgb_coef,
-                        self.acfg.cost_rgb_decay)))
+                        self.acfg.cost_rgb_decay)
             tr.last_rgb[c] = tk.rgb_tail
             tr.last_t_loc[c] = tk.loc3d
             tr.last_t_end[c] = frame_idx
@@ -972,8 +1068,10 @@ class Associator3D:
         valid = np.zeros((vmax,), bool)
         valid[:n] = True
 
-        # solve per hypothesis (batched over K via lax.map-style python loop;
-        # each solve is replica-parallel on device)
+        # solve all K hypotheses in ONE device call: vmapped replica-parallel
+        # BLS over the stacked per-hypothesis vertex masks / warm starts
+        # (replaces the reference's OpenMP loop over K serial solves,
+        # ref Associator3D.cpp:2676-2684)
         all_solutions: List[Tuple[frozenset, float]] = []
         # iteration budget ~ 10x edges clipped to [200, max]
         # (ref GraphSolver.cpp:548-553), quantised so jit compiles per
@@ -984,20 +1082,28 @@ class Associator3D:
             if raw_iters <= b:
                 break
         iters = min(b, self.cfg.solver.max_iterations)
-        for h in hyp_inputs:
-            init = np.zeros((vmax,), bool)
-            sub_valid = np.zeros((vmax,), bool)
+
+        kb = _bucket(len(hyp_inputs), lo=1)
+        init_k = np.zeros((kb, vmax), bool)
+        valid_k = np.zeros((kb, vmax), bool)
+        for hi, h in enumerate(hyp_inputs):
             for t in h.related:
                 if t in pool_idx:
-                    sub_valid[pool_idx[t]] = True
+                    valid_k[hi, pool_idx[t]] = True
             for t in h.selected:
                 if t in pool_idx:
-                    init[pool_idx[t]] = True
-            self.solver_key, k = jax.random.split(self.solver_key)
-            res = solve_mwcp(jnp.asarray(weights), jnp.asarray(compat),
-                             jnp.asarray(sub_valid & valid),
-                             jnp.asarray(init), k, self.cfg.solver, iters)
-            masks, scores = collect_k_best(res, self.acfg.k_best_size)
+                    init_k[hi, pool_idx[t]] = True
+        valid_k &= valid[None, :]
+        self.solver_key, k = jax.random.split(self.solver_key)
+        keys = jax.random.split(k, kb)
+        weights_k = np.broadcast_to(weights, (kb, vmax))
+        compat_k = np.broadcast_to(compat, (kb, vmax, vmax))
+        res = solve_mwcp_batch(jnp.asarray(weights_k), jnp.asarray(compat_k),
+                               jnp.asarray(valid_k), jnp.asarray(init_k),
+                               keys, self.cfg.solver, iters)
+        for hi in range(len(hyp_inputs)):
+            sub = jax.tree.map(lambda x: x[hi], res)
+            masks, scores = collect_k_best(sub, self.acfg.k_best_size)
             for m, s in zip(masks, scores):
                 sel = frozenset(pool[i] for i in np.where(m[:n])[0])
                 if sel:

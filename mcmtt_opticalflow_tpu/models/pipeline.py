@@ -14,6 +14,7 @@ from __future__ import annotations
 import time
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,9 +66,13 @@ class TrackingEngine:
         frames_rgb = np.asarray(frames_rgb, np.float32)
         gray = jnp.asarray(frames_rgb.mean(-1))
 
-        self.state2d, out2d = self.step2d(
-            self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
-            self.cams, jnp.int32(self.frame_idx))
+        with self.assoc.timer.stage("tracker2d"):
+            self.state2d, out2d = self.step2d(
+                self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
+                self.cams, jnp.int32(self.frame_idx))
+            out2d = jax.tree.map(lambda x: x.block_until_ready()
+                                 if hasattr(x, "block_until_ready") else x,
+                                 out2d)
 
         result = self.assoc.step(self.frame_idx, out2d.ids, out2d.boxes,
                                  out2d.mask, jnp.asarray(frames_rgb))

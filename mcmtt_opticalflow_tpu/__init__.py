@@ -19,6 +19,26 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# persistent XLA compilation cache: the engine's device programs (the LK
+# Pallas kernel, the BLS solver while-loop) are expensive to compile; cache
+# them across processes.  Safe no-op when the directory is unavailable.
+def _setup_compile_cache() -> None:
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MCMTT_JAX_CACHE", os.path.expanduser("~/.cache/mcmtt_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compile_cache()
+
 from mcmtt_opticalflow_tpu.config import (  # noqa: F401
     EngineConfig,
     Tracker2DConfig,

@@ -140,6 +140,8 @@ class SolverConfig:
     alpha_r: float = 0.8              # GraphSolver.cpp:545
     alpha_s: float = 0.8              # GraphSolver.cpp:544
     solutions_per_replica: int = 16   # local-optima ring buffer per replica
+    solve_batch: int = 16             # hypotheses solved per device call
+    #                                   (fixed so the solver compiles once)
     seed: int = 0                     # deterministic (ref uses rand())
 
 

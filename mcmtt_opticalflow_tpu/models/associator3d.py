@@ -1073,17 +1073,12 @@ class Associator3D:
         # (replaces the reference's OpenMP loop over K serial solves,
         # ref Associator3D.cpp:2676-2684)
         all_solutions: List[Tuple[frozenset, float]] = []
-        # iteration budget ~ 10x edges clipped to [200, max]
-        # (ref GraphSolver.cpp:548-553), quantised so jit compiles per
-        # bucket rather than per exact edge count
-        raw_iters = int(np.clip(10 * compat_n.sum() // 2, 200,
-                                self.cfg.solver.max_iterations))
-        for b in (200, 500, 1000, 2000):
-            if raw_iters <= b:
-                break
-        iters = min(b, self.cfg.solver.max_iterations)
-
-        kb = _bucket(len(hyp_inputs), lo=1)
+        # fixed iteration budget and hypothesis-batch size so the solver
+        # compiles exactly once (the reference's per-frame edge-scaled
+        # budget, GraphSolver.cpp:548-553, would retrigger compilation)
+        iters = self.cfg.solver.max_iterations
+        kb = self.cfg.solver.solve_batch
+        hyp_inputs = hyp_inputs[:kb]
         init_k = np.zeros((kb, vmax), bool)
         valid_k = np.zeros((kb, vmax), bool)
         for hi, h in enumerate(hyp_inputs):

@@ -152,15 +152,25 @@ def solve_mwcp(weights: jnp.ndarray,
         sol_scores = jnp.where(ok, sol_scores.at[slot].set(score), sol_scores)
         return sol_masks, sol_scores, sol_next + ok.astype(jnp.int32)
 
+    # f32 adjacency views: the per-iteration neighbour counts and partner
+    # weights become batched matvecs that ride the MXU instead of [V, V]
+    # masked reductions on the VPU
+    adj_f = adj.astype(jnp.float32)
+    adjc_f = (~adj).astype(jnp.float32)
+
     def one_replica_step(st_in_c, st_tabu, st_fbest, st_best, st_cp, st_w,
                          st_l, st_dir, st_sm, st_ss, st_sn, it, k):
-        cnt, csize, pa, om = _move_sets(st_in_c, adj, valid)
+        in_c_f = st_in_c.astype(jnp.float32)
+        cnt = (adj_f @ in_c_f).astype(jnp.int32)
+        csize = jnp.sum(st_in_c)
+        pa = valid & ~st_in_c & (cnt == csize)
+        om = valid & ~st_in_c & (cnt == csize - 1) & (csize > 0)
         fc = jnp.sum(jnp.where(st_in_c, weights, 0.0))
 
-        # swap partner weights via complement matvec
-        in_w = jnp.where(st_in_c, weights, 0.0)
-        w_partner = jnp.sum(jnp.where(~adj & st_in_c[None, :],
-                                      weights[None, :], 0.0), -1)
+        # swap partner weights via complement matvec (diag of ~adj is True
+        # but only contributes for vertices already in C, never OM ones)
+        in_w = in_c_f * weights
+        w_partner = adjc_f @ in_w
         gain_ins = jnp.where(pa, weights, NEG)
         gain_swp = jnp.where(om, weights - w_partner, NEG)
 
@@ -227,8 +237,7 @@ def solve_mwcp(weights: jnp.ndarray,
         # random: uniform among OC with (tabu ok | strong neighbourhood),
         # repair by removing non-neighbours (M4, ref GraphSolver.cpp:1281-1338)
         alpha = jnp.where(st_w == 0, cfg.alpha_s, cfg.alpha_r)
-        nbr_w_in_c = jnp.sum(jnp.where(adj & st_in_c[None, :],
-                                       weights[None, :], 0.0), -1)
+        nbr_w_in_c = adj_f @ in_w
         rnd_mask = valid & ~st_in_c & (tabu_ok | (nbr_w_in_c >= alpha * fc))
         rv, rany = _gumbel_pick(k4, rnd_mask)
         pert_rnd = (st_in_c & adj[rv]).at[rv].set(True)

@@ -263,10 +263,11 @@ def tracker2d_step(state: Tracker2DState,
         prev_frame = frames[bql - 1 - j]
         this_frame = frames[bql - j]
         pts = cur_feats.reshape(-1, 2)
+        act = (cur_valid & alive[:, None]).reshape(-1)
         tracked, status, _ = lk_track_pyramid(
             this_frame, prev_frame, pts,
             levels=cfg.lk_pyramid_levels, window=cfg.lk_window,
-            iterations=cfg.lk_iterations)
+            iterations=cfg.lk_iterations, active=act)
         back_feats = tracked.reshape(n_det, n_feat, 2)
         back_ok = status.reshape(n_det, n_feat) & cur_valid
         new_box, inlier, moved = local_search_klt(
@@ -290,10 +291,11 @@ def tracker2d_step(state: Tracker2DState,
     prev_frame = frames[bql - 2]
     cur_frame = frames[bql - 1]
     t_pts = state.trk_feats.reshape(-1, 2)
+    t_act = (state.trk_feat_valid & state.trk_active[:, None]).reshape(-1)
     t_tracked, t_status, _ = lk_track_pyramid(
         prev_frame, cur_frame, t_pts,
         levels=cfg.lk_pyramid_levels, window=cfg.lk_window,
-        iterations=cfg.lk_iterations)
+        iterations=cfg.lk_iterations, active=t_act)
     trk_curr_feats = t_tracked.reshape(n_trk, n_feat, 2)
     trk_track_ok = t_status.reshape(n_trk, n_feat) & state.trk_feat_valid
     trk_enough = jnp.sum(trk_track_ok, -1) >= cfg.min_features

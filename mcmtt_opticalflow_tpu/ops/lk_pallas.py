@@ -1,0 +1,299 @@
+"""Pallas TPU kernel for iterative Lucas-Kanade refinement.
+
+The XLA fallback (ops/lk.py) expresses window sampling as giant gathers —
+~40 gathers of [N, window^2] per pyramid level, which measure ~100 ms each
+on a v5e at production sizes.  This kernel restructures the work the way
+the hardware wants it:
+
+  * per feature, ONE async DMA brings a [PH, PW] patch of each image from
+    HBM into VMEM; patch corners are tile-aligned (rows to 8, lanes to 128)
+    as Mosaic requires for HBM slices, with margins sized so the LK window
+    plus per-level drift always stays inside the patch;
+  * bilinear sampling inside the patch is four dynamically-offset window
+    slices blended with scalar weights — pure VPU arithmetic, no gathers;
+  * the Newton iterations run on VMEM with a 2x2 solve;
+  * each grid program processes BATCH features to amortise program and
+    DMA-issue overhead, and one kernel instance covers every feature of
+    every camera (images stacked [C, H, W], camera index per feature in
+    the scalar-prefetch operands).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PH = 40             # patch rows (multiple of 8); y margin >= 16 both sides
+BATCH = 8           # features per grid program
+
+
+def _make_kernel(window: int, iters: int, ph: int, pw: int):
+    def kernel(meta_ref,          # [N, 8] i32: cam, y0p, x0p, y0n, x0n
+               srcg_ref,          # [N, 4] f32: sy, sx (rel prev), gy, gx (rel next)
+               prev_ref,          # [C, H, W] f32 ANY
+               next_ref,          # [C, H, W] f32 ANY
+               out_ref,           # [BATCH, 8] f32 SMEM block
+               pprev, pnext, sem):
+        g = pl.program_id(0)
+        num = pl.num_programs(0)
+        slot = jax.lax.rem(g, 2)
+        nslot = jax.lax.rem(g + 1, 2)
+
+        def issue(prog, dst_slot):
+            """Start the patch DMAs of program `prog` into buffer dst_slot.
+            Inactive (padding) features skip their DMAs entirely — real
+            workloads run at 10-30% slot occupancy, so this is the main
+            throughput lever."""
+            for b in range(BATCH):
+                i = prog * BATCH + b
+
+                @pl.when(meta_ref[i, 5] > 0)
+                def _():
+                    y0p = pl.multiple_of(meta_ref[i, 1], 8)
+                    x0p = pl.multiple_of(meta_ref[i, 2], 128)
+                    y0n = pl.multiple_of(meta_ref[i, 3], 8)
+                    x0n = pl.multiple_of(meta_ref[i, 4], 128)
+                    pltpu.make_async_copy(
+                        prev_ref.at[meta_ref[i, 0], pl.ds(y0p, ph),
+                                    pl.ds(x0p, pw)],
+                        pprev.at[dst_slot, b], sem.at[dst_slot, 2 * b]).start()
+                    pltpu.make_async_copy(
+                        next_ref.at[meta_ref[i, 0], pl.ds(y0n, ph),
+                                    pl.ds(x0n, pw)],
+                        pnext.at[dst_slot, b],
+                        sem.at[dst_slot, 2 * b + 1]).start()
+
+        # program 0 fetches its own patches; everyone prefetches the next
+        # program's patches before computing (double-buffered pipeline)
+        @pl.when(g == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(g + 1 < num)
+        def _():
+            issue(g + 1, nslot)
+
+        copies = []
+        for b in range(BATCH):
+            cp = pltpu.make_async_copy(
+                prev_ref.at[0, pl.ds(0, ph), pl.ds(0, pw)],
+                pprev.at[slot, b], sem.at[slot, 2 * b])
+            cn = pltpu.make_async_copy(
+                next_ref.at[0, pl.ds(0, ph), pl.ds(0, pw)],
+                pnext.at[slot, b], sem.at[slot, 2 * b + 1])
+            copies.append((cp, cn))
+
+        w = window
+        half = (w - 1) / 2.0
+        lo = 1.0
+        hi_y = float(ph - w - 2)
+        hi_x = float(pw - w - 2)
+
+        def rolled(patch_val, iy, ix):
+            """Shift the patch so window-origin (iy-1, ix-1) lands at (0, 0);
+            dynamic shifts via pltpu.roll (Mosaic rejects dynamic sublane
+            slice offsets, but vector rolls take runtime amounts).  Shifts
+            are wrapped positive — hardware rolls are unsigned."""
+            r = pltpu.roll(patch_val, (1 - iy) % ph, 0)
+            return pltpu.roll(r, (1 - ix) % pw, 1)
+
+        def blend_at(r, oy, ox, fy_, fx_):
+            """Bilinear sample of the rolled patch at static offset
+            (oy, ox) from the window origin (origin sits at (1, 1))."""
+            a = r[1 + oy:1 + oy + w, 1 + ox:1 + ox + w]
+            b_ = r[1 + oy:1 + oy + w, 2 + ox:2 + ox + w]
+            c_ = r[2 + oy:2 + oy + w, 1 + ox:1 + ox + w]
+            d_ = r[2 + oy:2 + oy + w, 2 + ox:2 + ox + w]
+            return (a * (1 - fy_) * (1 - fx_) + b_ * (1 - fy_) * fx_
+                    + c_ * fy_ * (1 - fx_) + d_ * fy_ * fx_)
+
+        for b in range(BATCH):
+            i = g * BATCH + b
+            active = meta_ref[i, 5] > 0
+
+            out_ref[b, 0] = 0.0
+            out_ref[b, 1] = 0.0
+            out_ref[b, 2] = 0.0
+            out_ref[b, 3] = 0.0
+            out_ref[b, 4] = 0.0
+            out_ref[b, 5] = 0.0
+            out_ref[b, 6] = 0.0
+            out_ref[b, 7] = 0.0
+
+            @pl.when(active)
+            def _():
+                copies[b][0].wait()
+                copies[b][1].wait()
+
+                pv_patch = pprev[slot, b]
+                nx_patch = pnext[slot, b]
+
+                sy = srcg_ref[i, 0] - half   # window top-left, prev patch
+                sx = srcg_ref[i, 1] - half
+                gy0 = srcg_ref[i, 2] - half  # guess top-left, next patch
+                gx0 = srcg_ref[i, 3] - half
+
+                src_ok = (sy >= lo) & (sy <= hi_y) & (sx >= lo) & (sx <= hi_x)
+                sy_c = jnp.clip(sy, lo, hi_y)
+                sx_c = jnp.clip(sx, lo, hi_x)
+                isy = jnp.floor(sy_c).astype(jnp.int32)
+                isx = jnp.floor(sx_c).astype(jnp.int32)
+                fy = sy_c - isy.astype(jnp.float32)
+                fx = sx_c - isx.astype(jnp.float32)
+
+                rp = rolled(pv_patch, isy, isx)
+                t = blend_at(rp, 0, 0, fy, fx)
+                gx_p = 0.5 * (blend_at(rp, 0, 1, fy, fx)
+                              - blend_at(rp, 0, -1, fy, fx))
+                gy_p = 0.5 * (blend_at(rp, 1, 0, fy, fx)
+                              - blend_at(rp, -1, 0, fy, fx))
+
+                gxx = jnp.sum(gx_p * gx_p)
+                gxy = jnp.sum(gx_p * gy_p)
+                gyy = jnp.sum(gy_p * gy_p)
+                det = gxx * gyy - gxy * gxy
+                ok_g = det > 1e-7
+                inv_det = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det, 1.0),
+                                    0.0)
+
+                def warp(dy, dx):
+                    dy_c = jnp.clip(dy, lo, hi_y)
+                    dx_c = jnp.clip(dx, lo, hi_x)
+                    iy = jnp.floor(dy_c).astype(jnp.int32)
+                    ix = jnp.floor(dx_c).astype(jnp.int32)
+                    fy2 = dy_c - iy.astype(jnp.float32)
+                    fx2 = dx_c - ix.astype(jnp.float32)
+                    rn = rolled(nx_patch, iy, ix)
+                    return blend_at(rn, 0, 0, fy2, fx2), dy_c, dx_c
+
+                def body(_, carry):
+                    dy, dx = carry
+                    warped, dy_c, dx_c = warp(dy, dx)
+                    diff = warped - t
+                    bx = jnp.sum(diff * gx_p)
+                    by = jnp.sum(diff * gy_p)
+                    ux = -(gyy * bx - gxy * by) * inv_det
+                    uy = -(-gxy * bx + gxx * by) * inv_det
+                    return (dy_c + uy, dx_c + ux)
+
+                dy, dx = jax.lax.fori_loop(0, iters, body, (gy0, gx0))
+                warped, dy_c, dx_c = warp(dy, dx)
+                resid = jnp.mean(jnp.abs(warped - t))
+
+                in_range = (dy >= lo) & (dy <= hi_y) \
+                    & (dx >= lo) & (dx <= hi_x)
+                valid = ok_g & src_ok & in_range
+
+                out_ref[b, 0] = dx_c + half   # tracked x, rel to next patch
+                out_ref[b, 1] = dy_c + half
+                out_ref[b, 2] = valid.astype(jnp.float32)
+                out_ref[b, 3] = resid
+
+    return kernel
+
+
+# feature-chunk size: keeps the scalar-prefetch operands within SMEM
+# (SMEM scalars are padded heavily; 512 features x 12 scalars fits)
+CHUNK = 512
+
+
+@functools.partial(jax.jit, static_argnames=("window", "iters", "interpret"))
+def lk_level_pallas(prev: jnp.ndarray,
+                    next_img: jnp.ndarray,
+                    cam_idx: jnp.ndarray,
+                    points: jnp.ndarray,
+                    guess: jnp.ndarray,
+                    active=None,
+                    window: int = 16,
+                    iters: int = 10,
+                    interpret: bool = False):
+    """Single-level LK for a flat feature batch over stacked cameras.
+
+    Args:
+      prev, next_img: [C, H, W] float32; H must be a multiple of 8 and
+        W a multiple of 128 (pyramid levels of 8/128-divisible frames are).
+      cam_idx: [N] int32 camera of each feature; N multiple of BATCH.
+      points:  [N, 2] (x, y) source positions.
+      guess:   [N, 2] (x, y) initial target positions.
+      active:  [N] bool — inactive features skip DMA + compute entirely
+               (padding slots; real workloads run well below capacity).
+
+    Returns (tracked [N, 2], valid [N] bool, resid [N]).
+    """
+    c, h, wid = prev.shape
+    n = points.shape[0]
+    assert n % BATCH == 0, (n, BATCH)
+    ph = min(PH, h)
+    pw = min(256, wid)
+    half = (window - 1) / 2.0
+
+    def corner(pts):
+        # tile-aligned top-left patch corner with the point in the interior
+        cy = (jnp.floor(pts[:, 1]).astype(jnp.int32) - ph // 2 + 4) & ~7
+        cy = jnp.clip(cy, 0, max(h - ph, 0))
+        cx = (jnp.floor(pts[:, 0]).astype(jnp.int32) - pw // 2 + 64) \
+            & ~(128 - 1)
+        cx = jnp.clip(cx, 0, max(wid - pw, 0))
+        return cy, cx
+
+    y0p, x0p = corner(points)
+    y0n, x0n = corner(guess)
+    cam32 = cam_idx.astype(jnp.int32)
+    zeros = jnp.zeros_like(cam32)
+    if active is None:
+        act32 = jnp.ones_like(cam32)
+    else:
+        act32 = active.astype(jnp.int32)
+    meta = jnp.stack([cam32, y0p, x0p, y0n, x0n, act32, zeros, zeros], -1)
+    srcg = jnp.stack([points[:, 1] - y0p, points[:, 0] - x0p,
+                      guess[:, 1] - y0n, guess[:, 0] - x0n], -1)
+
+    kernel = _make_kernel(window, iters, ph, pw)
+
+    def call_chunk(meta_c, srcg_c):
+        m = meta_c.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(m // BATCH,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((BATCH, 8), lambda i, *_: (i, 0),
+                                       memory_space=pltpu.SMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, BATCH, ph, pw), jnp.float32),
+                    pltpu.VMEM((2, BATCH, ph, pw), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, 2 * BATCH)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((m, 8), jnp.float32),
+            interpret=interpret,
+        )(meta_c, srcg_c, prev.astype(jnp.float32),
+          next_img.astype(jnp.float32))
+
+    meta = meta.astype(jnp.int32)
+    srcg = srcg.astype(jnp.float32)
+    if n <= CHUNK:
+        out = call_chunk(meta, srcg)
+    else:
+        # chunk so the scalar-prefetch operands stay within SMEM limits
+        pad = (-n) % CHUNK
+        meta_p = jnp.pad(meta, ((0, pad), (0, 0)))
+        srcg_p = jnp.pad(srcg, ((0, pad), (0, 0)))
+        chunks = [call_chunk(meta_p[i:i + CHUNK], srcg_p[i:i + CHUNK])
+                  for i in range(0, n + pad, CHUNK)]
+        out = jnp.concatenate(chunks, axis=0)[:n]
+
+    tracked = jnp.stack([out[:, 0] + x0n.astype(jnp.float32),
+                         out[:, 1] + y0n.astype(jnp.float32)], -1)
+    valid = out[:, 2] > 0.5
+    resid = out[:, 3]
+    return tracked, valid, resid

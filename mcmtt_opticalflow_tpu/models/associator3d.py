@@ -430,12 +430,8 @@ class Associator3D:
     # 7a. tracklet ingest & cross-camera gating (ref :1099-1268)
     # ------------------------------------------------------------------
     def _update_tracklets(self, frame_idx, ids, boxes, mask, rgb_frames):
-        locs, tops, bottoms, hists = self._ingest(
-            jnp.asarray(boxes), jnp.asarray(mask), jnp.asarray(rgb_frames))
-        locs = np.asarray(locs)
-        tops = np.asarray(tops)
-        bottoms = np.asarray(bottoms)
-        hists = np.asarray(hists)
+        locs, tops, bottoms, hists = jax.device_get(self._ingest(
+            jnp.asarray(boxes), jnp.asarray(mask), jnp.asarray(rgb_frames)))
 
         for c in range(self.num_cams):
             self.new_measurements[c] = []
@@ -671,14 +667,14 @@ class Associator3D:
             rmask[i, :ln] = tr.raw_mask[starts[i]:]
             merr[i, :ln] = tr.max_error[starts[i]:]
             lens[i] = ln
-        res = self._score_windows(jnp.asarray(pts), jnp.asarray(raws),
-                                  jnp.asarray(rmask), jnp.asarray(merr),
-                                  jnp.asarray(lens))
-        smoothed = np.asarray(res.smoothed)
-        velocity = np.asarray(res.velocity)
-        cost_r = np.asarray(res.cost_recon)
-        cost_l = np.asarray(res.cost_link)
-        valid = np.asarray(res.valid)
+        res = jax.device_get(self._score_windows(
+            jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
+            jnp.asarray(merr), jnp.asarray(lens)))
+        smoothed = res.smoothed
+        velocity = res.velocity
+        cost_r = res.cost_recon
+        cost_l = res.cost_link
+        valid = res.valid
         for i, tr in enumerate(tracks):
             ln = int(lens[i])
             s = int(starts[i])
@@ -1093,9 +1089,10 @@ class Associator3D:
         keys = jax.random.split(k, kb)
         weights_k = np.broadcast_to(weights, (kb, vmax))
         compat_k = np.broadcast_to(compat, (kb, vmax, vmax))
-        res = solve_mwcp_batch(jnp.asarray(weights_k), jnp.asarray(compat_k),
-                               jnp.asarray(valid_k), jnp.asarray(init_k),
-                               keys, self.cfg.solver, iters)
+        res = jax.device_get(solve_mwcp_batch(
+            jnp.asarray(weights_k), jnp.asarray(compat_k),
+            jnp.asarray(valid_k), jnp.asarray(init_k),
+            keys, self.cfg.solver, iters))
         for hi in range(len(hyp_inputs)):
             sub = jax.tree.map(lambda x: x[hi], res)
             masks, scores = collect_k_best(sub, self.acfg.k_best_size)

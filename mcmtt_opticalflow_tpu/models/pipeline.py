@@ -63,19 +63,19 @@ class TrackingEngine:
         t0 = time.perf_counter()
         self.frame_idx = self.frame_idx + 1 if frame_idx is None else frame_idx
         boxes, mask = self._pad_detections(detections)
-        frames_rgb = np.asarray(frames_rgb, np.float32)
-        gray = jnp.asarray(frames_rgb.mean(-1))
+        # one upload per frame: RGB goes up once, gray is derived on device
+        rgb_dev = jnp.asarray(np.asarray(frames_rgb, np.float32))
+        gray = jnp.mean(rgb_dev, axis=-1)
 
         with self.assoc.timer.stage("tracker2d"):
             self.state2d, out2d = self.step2d(
                 self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
                 self.cams, jnp.int32(self.frame_idx))
-            out2d = jax.tree.map(lambda x: x.block_until_ready()
-                                 if hasattr(x, "block_until_ready") else x,
-                                 out2d)
+            ids_np, boxes_np, mask_np = jax.device_get(
+                (out2d.ids, out2d.boxes, out2d.mask))
 
-        result = self.assoc.step(self.frame_idx, out2d.ids, out2d.boxes,
-                                 out2d.mask, jnp.asarray(frames_rgb))
+        result = self.assoc.step(self.frame_idx, ids_np, boxes_np,
+                                 mask_np, rgb_dev)
         result.processing_time = time.perf_counter() - t0
         self.timing.append(result.processing_time)
         self.results.append(result)

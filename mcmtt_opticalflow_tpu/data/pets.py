@@ -103,6 +103,27 @@ def write_detection_file(path: str, boxes: np.ndarray,
                 f.write(f"0 0 {w} {h} {x} {y}\n")
 
 
+def read_track2d_result(path: str):
+    """Read a per-frame 2D tracking result file (the reference's tracklet
+    input mode, psn_where/PSNWhere_Utils.cpp:1099-1240 /
+    Tracker2D FilePrintResult format).
+
+    Returns (cam_idx, frame_idx, ids [K], boxes [K, 4])."""
+    if not os.path.exists(path):
+        return -1, -1, np.zeros(0, np.int64), np.zeros((0, 4), np.float32)
+    text = open(path).read()
+    cam = int(re.search(r"camIdx:(\d+)", text).group(1))
+    frame = int(re.search(r"frameIdx:(\d+)", text).group(1))
+    ids, boxes = [], []
+    for m in re.finditer(
+            r"id:(\d+)\s*[\n\t ]+box:\(([-\d.eE]+),([-\d.eE]+),"
+            r"([-\d.eE]+),([-\d.eE]+)\)", text):
+        ids.append(int(m.group(1)))
+        boxes.append([float(m.group(k)) for k in range(2, 6)])
+    return (cam, frame, np.asarray(ids, np.int64),
+            np.asarray(boxes, np.float32).reshape(-1, 4))
+
+
 # ---------------------------------------------------------------------------
 # ground truth
 # ---------------------------------------------------------------------------

@@ -91,6 +91,58 @@ class ClearMotAccumulator:
         self._frames[time_idx] = frame
         self._num_saved = max(self._num_saved, time_idx + 1)
 
+    def save_result_matrix(self, path: str) -> None:
+        """Write the accumulated X/Y result matrices in the reference's
+        offline re-scoring format (ref PrintResultMatrix /
+        LoadResultFromText, Evaluator.cpp:153-234, 1144+)."""
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        n = max(len(self._ids), 1)
+        f = self._num_saved
+        x = np.zeros((f, n))
+        y = np.zeros((f, n))
+        for t in range(f):
+            for idx, px, py in self._frames[t]:
+                x[t, idx] = px
+                y[t, idx] = py
+        with open(path, "w") as fh:
+            fh.write(f"MatX:({f},{n})\n")
+            for row in x:
+                fh.write(",".join(f"{v:.4f}" for v in row) + ",\n")
+            fh.write(f"MatY:({f},{n})\n")
+            for row in y:
+                fh.write(",".join(f"{v:.4f}" for v in row) + ",\n")
+
+    def load_result_matrix(self, path: str) -> None:
+        """Load results saved by save_result_matrix (offline re-scoring,
+        ref LoadResultFromText Evaluator.cpp:153-234)."""
+        import re
+
+        text = open(path).read()
+        m = re.search(r"MatX:\((\d+),(\d+)\)", text)
+        f, n = int(m.group(1)), int(m.group(2))
+        my = re.search(r"MatY:\((\d+),(\d+)\)", text)
+        xs_text = text[m.end():my.start()]
+        ys_text = text[my.end():]
+
+        def parse(block):
+            rows = []
+            for line in block.strip().splitlines():
+                vals = [float(v) for v in line.split(",") if v.strip()]
+                rows.append(vals)
+            return np.asarray(rows).reshape(f, n)
+
+        x, y = parse(xs_text), parse(ys_text)
+        self._ids = list(range(n))
+        self._frames = [[] for _ in range(self.num_time)]
+        for t in range(min(f, self.num_time)):
+            for j in range(n):
+                if x[t, j] != 0.0 or y[t, j] != 0.0:
+                    self._frames[t].append((j, float(x[t, j]),
+                                            float(y[t, j])))
+        self._num_saved = f
+
     def evaluate(self) -> EvaluationResult:
         num_est = len(self._ids)
         f = self._num_saved

@@ -30,15 +30,13 @@ import numpy as np
 
 from mcmtt_opticalflow_tpu.config import EngineConfig
 from mcmtt_opticalflow_tpu.geometry.tsai import (
-    TsaiCamera, stack_cameras, image_to_world, world_to_image)
+    TsaiCamera, stack_cameras, image_to_world)
 from mcmtt_opticalflow_tpu.geometry.triangulation import (
     triangulate_two_lines, segments_intersect)
 from mcmtt_opticalflow_tpu.geometry.sidemaps import (
-    projection_sensitivity_map, distance_from_boundary_map, sample_map)
-from mcmtt_opticalflow_tpu.models.costs import (
-    score_track_windows, link_probability, enter_probability, exit_cost,
-    reconstruction_probability)
-from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp, solve_mwcp_batch,
+    projection_sensitivity_map, distance_from_boundary_map)
+from mcmtt_opticalflow_tpu.models.costs import score_track_windows
+from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp_batch,
                                                collect_k_best)
 from mcmtt_opticalflow_tpu.models.trees import (
     Track, TrackRegistry, Tracklet)

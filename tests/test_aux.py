@@ -133,3 +133,57 @@ class TestVizAndUtils:
         with t.stage("a"):
             pass
         assert "a" in t.summary()
+
+
+class TestMathUtils:
+    def test_nchoosek(self):
+        from mcmtt_opticalflow_tpu.utils.math import nchoosek
+        assert nchoosek(4, 2) == [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3],
+                                  [2, 3]]
+        assert nchoosek(2, 3) == []
+
+    def test_erfc_matches_reference_series(self):
+        # the reference uses a double-precision erfc series
+        # (Utils.cpp:335-433); scipy is the same function
+        from mcmtt_opticalflow_tpu.utils.math import erfc
+        import jax.numpy as jnp
+        from jax.scipy.special import erfc as jerfc
+        for x in [-2.0, -0.5, 0.0, 0.3, 1.0, 2.5]:
+            assert abs(float(jerfc(jnp.float32(x))) - erfc(x)) < 1e-5
+
+    def test_histogram_channel(self):
+        from mcmtt_opticalflow_tpu.utils.math import histogram_channel
+        h = histogram_channel(np.asarray([0, 15, 16, 255]), 16)
+        assert h[0] == 2 and h[1] == 1 and h[15] == 1
+
+
+class TestResultMatrixIO:
+    def test_round_trip(self, tmp_path):
+        from mcmtt_opticalflow_tpu.eval import ClearMotAccumulator
+        gt = np.full((4, 2), 500.0)
+        acc = ClearMotAccumulator(gt, gt, (-10000, -10000, 10000, 10000))
+        for t in range(4):
+            acc.set_result(t, [(0, 500.0, 500.0), (3, 700.0, 900.0)])
+        p = str(tmp_path / "res.txt")
+        acc.save_result_matrix(p)
+        acc2 = ClearMotAccumulator(gt, gt, (-10000, -10000, 10000, 10000))
+        acc2.load_result_matrix(p)
+        r1, r2 = acc.evaluate(), acc2.evaluate()
+        assert r1.mota == pytest.approx(r2.mota)
+        assert r1.missed == r2.missed
+
+
+class TestTrack2DResultIO:
+    def test_round_trip(self, tmp_path):
+        from mcmtt_opticalflow_tpu.utils.dumps import dump_track2d_result
+        from mcmtt_opticalflow_tpu.data.pets import read_track2d_result
+        p = str(tmp_path / "t2d.txt")
+        dump_track2d_result(p, 2, 17, np.asarray([4, 9]),
+                            np.asarray([[1.0, 2, 3, 4], [5.0, 6, 7, 8]]),
+                            np.asarray([True, True]),
+                            np.asarray([[1.0, 2, 3, 4]]),
+                            np.asarray([True]))
+        cam, frame, ids, boxes = read_track2d_result(p)
+        assert cam == 2 and frame == 17
+        assert list(ids) == [4, 9]
+        np.testing.assert_allclose(boxes[1], [5.0, 6, 7, 8])

@@ -25,6 +25,10 @@ __version__ = "0.1.0"
 def _setup_compile_cache() -> None:
     import os
 
+    if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+        # CPU runs (tests, virtual meshes) must not share the cache with
+        # remote-TPU compiles: XLA:CPU AOT entries are machine-specific
+        return
     try:
         import jax
 

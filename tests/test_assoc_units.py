@@ -25,8 +25,10 @@ def small_cfg(num_cams=2, w=256, h=192):
 
 @pytest.fixture(scope="module")
 def assoc_and_scenario():
+    # small frames give the ring cameras a tight FOV: keep the arena small
+    # so every person stays visible in both views
     sc = make_scenario(num_cameras=2, num_frames=6, num_people=3,
-                       image_size=(256, 192), arena=4000.0, seed=7)
+                       image_size=(256, 192), arena=2000.0, seed=11)
     cfg = small_cfg()
     assoc = Associator3D(cfg, sc.cameras)
     return assoc, sc

@@ -36,7 +36,7 @@ def main():
         solver=SolverConfig(num_replicas=8, max_vertices=256,
                             max_iterations=300, solve_batch=8),
     )
-    eng = TrackingEngine(cfg, sc.cameras)
+    eng = TrackingEngine(cfg, sc.cameras, pipelined=True)
 
     # pre-render frames so rendering cost stays out of the measurement
     frames = [np.stack(sc.frames(t)) for t in range(num_frames + 4)]

@@ -27,7 +27,14 @@ from mcmtt_opticalflow_tpu.models.tracker2d import (init_tracker2d_state,
 
 
 class TrackingEngine:
-    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera]):
+    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
+                 pipelined: bool = False):
+        """pipelined=True overlaps the device 2D stage of frame t+1 with
+        the host-side 3D association of frame t (the frame-pipeline axis of
+        SURVEY.md §2's parallelism table; the reference is strictly
+        sequential per frame).  Results then trail the input by one frame:
+        process_frame(t) returns the frame t-1 result (None at t=0); call
+        flush() after the last frame for the final one."""
         assert len(cameras) == cfg.num_cameras
         self.cfg = cfg
         self.cameras = list(cameras)
@@ -40,6 +47,8 @@ class TrackingEngine:
         self.frame_idx = -1
         self.results: List[Track3DResult] = []
         self.timing: List[float] = []
+        self.pipelined = pipelined
+        self._pending = None   # (frame_idx, out2d device arrays, rgb_dev)
 
     def _pad_detections(self, detections):
         c = self.cfg.num_cameras
@@ -68,16 +77,38 @@ class TrackingEngine:
         gray = jnp.mean(rgb_dev, axis=-1)
 
         with self.assoc.timer.stage("tracker2d"):
+            # dispatch is async: the device chews on this frame's 2D stage
+            # while (in pipelined mode) the host associates the previous one
             self.state2d, out2d = self.step2d(
                 self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
                 self.cams, jnp.int32(self.frame_idx))
-            ids_np, boxes_np, mask_np = jax.device_get(
-                (out2d.ids, out2d.boxes, out2d.mask))
 
-        result = self.assoc.step(self.frame_idx, ids_np, boxes_np,
-                                 mask_np, rgb_dev)
+        if self.pipelined:
+            prev, self._pending = self._pending, (self.frame_idx, out2d,
+                                                  rgb_dev)
+            if prev is None:
+                return None
+            prev_idx, prev_out, prev_rgb = prev
+            result = self._associate(prev_idx, prev_out, prev_rgb)
+        else:
+            result = self._associate(self.frame_idx, out2d, rgb_dev)
         result.processing_time = time.perf_counter() - t0
         self.timing.append(result.processing_time)
+        self.results.append(result)
+        return result
+
+    def _associate(self, frame_idx, out2d, rgb_dev) -> Track3DResult:
+        ids_np, boxes_np, mask_np = jax.device_get(
+            (out2d.ids, out2d.boxes, out2d.mask))
+        return self.assoc.step(frame_idx, ids_np, boxes_np, mask_np, rgb_dev)
+
+    def flush(self) -> Optional[Track3DResult]:
+        """Drain the pipelined tail: associate the last submitted frame."""
+        if self._pending is None:
+            return None
+        prev_idx, prev_out, prev_rgb = self._pending
+        self._pending = None
+        result = self._associate(prev_idx, prev_out, prev_rgb)
         self.results.append(result)
         return result
 

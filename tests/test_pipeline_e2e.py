@@ -81,3 +81,38 @@ class TestPipelineE2E:
         eng, _ = engine_run
         r = eng.deferred_result(NUM_FRAMES - 3)
         assert r.frame_idx == NUM_FRAMES - 3
+
+
+class TestPipelinedMode:
+    def test_pipelined_matches_sequential(self, scenario):
+        """Frame pipelining reorders work but must not change any result."""
+        import jax
+        from mcmtt_opticalflow_tpu.config import (EngineConfig, SolverConfig,
+                                                  Tracker2DConfig)
+        sc = scenario
+        cfg = EngineConfig(
+            num_cameras=2, image_width=256, image_height=192,
+            tracker2d=Tracker2DConfig(max_detections=16, max_trackers=32,
+                                      max_features=16, lk_window=8,
+                                      lk_pyramid_levels=2, lk_iterations=6),
+            solver=SolverConfig(num_replicas=4, max_vertices=64,
+                                solutions_per_replica=8, max_iterations=200,
+                                solve_batch=4))
+        seq = TrackingEngine(cfg, sc.cameras)
+        pipe = TrackingEngine(cfg, sc.cameras, pipelined=True)
+        seq_results, pipe_results = [], []
+        for t in range(6):
+            frames = np.stack(sc.frames(t))
+            seq_results.append(seq.process_frame(frames, sc.detections[t],
+                                                 frame_idx=t))
+            r = pipe.process_frame(frames, sc.detections[t], frame_idx=t)
+            if r is not None:
+                pipe_results.append(r)
+        tail = pipe.flush()
+        if tail is not None:
+            pipe_results.append(tail)
+        assert len(pipe_results) == len(seq_results)
+        for rs, rp in zip(seq_results, pipe_results):
+            assert rs.frame_idx == rp.frame_idx
+            assert rs.ids == rp.ids
+            np.testing.assert_allclose(rs.points, rp.points, atol=1e-4)

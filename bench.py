@@ -38,8 +38,10 @@ def main():
     )
     eng = TrackingEngine(cfg, sc.cameras, pipelined=True)
 
-    # pre-render frames so rendering cost stays out of the measurement
-    frames = [np.stack(sc.frames(t)) for t in range(num_frames + 4)]
+    # pre-render frames so rendering cost stays out of the measurement;
+    # uint8, as dataset JPEGs decode to (the engine's native ingest format)
+    frames = [(np.clip(np.stack(sc.frames(t)), 0, 1) * 255 + 0.5)
+              .astype(np.uint8) for t in range(num_frames + 4)]
 
     # warmup (compilation; the engine's device programs compile on the
     # first few frames as batch-size buckets appear)

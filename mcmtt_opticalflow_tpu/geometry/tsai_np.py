@@ -80,6 +80,34 @@ class HostCamera:
                 & (v >= 0) & (v < self.p["height"]))
 
 
+def triangulate_two_lines_np(p1a, p1b, p2a, p2b):
+    """Numpy mirror of geometry.triangulation.triangulate_two_lines —
+    closest-point midpoint + gap of two 3D lines, batched
+    (ref psn_where/PSNWhere_Utils.cpp:499-525).  Host-side so that the
+    small per-frame cross-camera gating batch avoids a device dispatch."""
+    p1a, p1b = np.asarray(p1a), np.asarray(p1b)
+    p2a, p2b = np.asarray(p2a), np.asarray(p2b)
+    d1 = p1a - p1b
+    d2 = p2a - p2b
+    off = p2b - p1b
+    a11 = np.sum(d1 * d1, -1)
+    a12 = np.sum(d1 * -d2, -1)
+    a21 = np.sum(d2 * d1, -1)
+    a22 = np.sum(d2 * -d2, -1)
+    b1 = np.sum(d1 * off, -1)
+    b2 = np.sum(d2 * off, -1)
+    det = a11 * a22 - a12 * a21
+    bad = np.abs(det) < 1e-12
+    safe_det = np.where(bad, 1.0, det)
+    t1 = (b1 * a22 - a12 * b2) / safe_det
+    t2 = (a11 * b2 - b1 * a21) / safe_det
+    c1 = p1b + d1 * t1[..., None]
+    c2 = p2b + d2 * t2[..., None]
+    mid = 0.5 * (c1 + c2)
+    gap = np.where(bad, np.inf, np.linalg.norm(c1 - c2, axis=-1))
+    return mid, gap
+
+
 def _undistort_to_distort(kappa1, xu, yu):
     """Cardano inverse of the radial distortion (ref :579-663), numpy."""
     xu = np.asarray(xu, np.float64)

@@ -29,10 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcmtt_opticalflow_tpu.config import EngineConfig
-from mcmtt_opticalflow_tpu.geometry.tsai import (
-    TsaiCamera, stack_cameras, image_to_world)
-from mcmtt_opticalflow_tpu.geometry.triangulation import (
-    triangulate_two_lines, segments_intersect)
+from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera, stack_cameras
+from mcmtt_opticalflow_tpu.geometry.triangulation import segments_intersect
 from mcmtt_opticalflow_tpu.geometry.sidemaps import (
     projection_sensitivity_map, distance_from_boundary_map)
 from mcmtt_opticalflow_tpu.models.costs import score_track_windows
@@ -40,10 +38,11 @@ from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp_batch,
                                                collect_k_best)
 from mcmtt_opticalflow_tpu.models.trees import (
     Track, TrackRegistry, Tracklet)
-from mcmtt_opticalflow_tpu.ops.histogram import rgb_histogram, rgb_cost
 from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
 
 _MAP_STRIDE = 4
+
+from scipy.special import erfc as _erfc  # noqa: E402  (host scalar math)
 
 
 def _bucket(n: int, lo: int = 8) -> int:
@@ -57,9 +56,16 @@ def _bucket(n: int, lo: int = 8) -> int:
 
 def _link_prob_np(p1, p2, time_gap: float, max_speed: float) -> float:
     """Host scalar of models.costs.link_probability (numpy, no dispatch)."""
-    from scipy.special import erfc
     d = float(np.linalg.norm(np.asarray(p1) - np.asarray(p2)))
-    return 0.5 * float(erfc(4.0 * d / (max_speed * max(time_gap, 1.0)) - 2.0))
+    return 0.5 * float(_erfc(4.0 * d / (max_speed * max(time_gap, 1.0)) - 2.0))
+
+
+def _link_prob_batch(p1s: np.ndarray, p2s: np.ndarray, gaps: np.ndarray,
+                     max_speed: float) -> np.ndarray:
+    """Vectorised link probability over N candidate pairs."""
+    d = np.linalg.norm(np.asarray(p1s) - np.asarray(p2s), axis=-1)
+    g = np.maximum(np.asarray(gaps, np.float64), 1.0)
+    return 0.5 * _erfc(4.0 * d / (max_speed * g) - 2.0)
 
 
 def _rgb_cost_np(f1, f2, time_gap: float, min_dist: float, coef: float,
@@ -119,6 +125,7 @@ class Associator3D:
 
         self.active_tracks: List[int] = []
         self.paused_tracks: List[int] = []
+        self._pending_rescore: List[Track] = []
         self.tracks_in_window: List[int] = []
         self.prev_hypotheses: List[Hypothesis] = []
         self.best_solution: List[int] = []
@@ -141,47 +148,6 @@ class Associator3D:
         cams = self.cams
         acfg = self.acfg
 
-        @jax.jit
-        def ingest(boxes, mask, rgb):
-            """Per-camera tracklet geometry + appearance.
-            boxes [C, T, 4], rgb [C, H, W, 3]."""
-            def per_cam(cam, bx, img):
-                bottom = jnp.stack(
-                    [bx[:, 0] + jnp.ceil(bx[:, 2] / 2.0),
-                     bx[:, 1] + bx[:, 3]], -1)
-                loc = image_to_world(cam, bottom, 0.0)
-                top = image_to_world(cam, bottom, 2000.0)
-                hist = rgb_histogram(img, bx, acfg.num_rgb_bins)
-                return loc, top, bottom, hist
-            locs, tops, bottoms, hists = jax.vmap(per_cam)(cams, boxes, rgb)
-            return locs, tops, bottoms, hists
-
-        self._ingest = ingest
-
-        @jax.jit
-        def pair_distance(top1, bot1, top2, bot2):
-            """Mean line-to-point reconstruction distance for all pairs of
-            back-projection lines: [A, 3] x [B, 3] -> [A, B]
-            (the 2-line case of ref NViewPointReconstruction :930-982,
-            where the LS point is the common-perpendicular midpoint and the
-            mean distance is half the line gap)."""
-            _, gap = triangulate_two_lines(
-                top1[:, None], bot1[:, None], top2[None, :], bot2[None, :])
-            return 0.5 * gap
-
-        self._pair_distance = pair_distance
-
-        @jax.jit
-        def all_pair_distance(act_top, act_bot, new_top, new_bot):
-            """All camera pairs in one call:
-            [C, A, 3] x [C, B, 3] -> [C, A, C, B] distances."""
-            _, gap = triangulate_two_lines(
-                act_top[:, :, None, None], act_bot[:, :, None, None],
-                new_top[None, None, :, :], new_bot[None, None, :, :])
-            return 0.5 * gap
-
-        self._all_pair_distance = all_pair_distance
-
         @functools.partial(jax.jit, static_argnames=())
         def score_windows(points, raw_points, raw_mask, max_error, lengths):
             return score_track_windows(points, raw_points, raw_mask,
@@ -190,10 +156,16 @@ class Associator3D:
         self._score_windows = score_windows
 
         @jax.jit
-        def compat_matrix(tree_ids, tids, t_start, t_end, win_pts, win_t0,
-                          win_len, valid):
+        def compat_matrix(tree_ids, tids, pos_grid, have, valid):
             """[N, N] bool COMPATIBILITY (edge) matrix
-            (ref CheckIncompatibility, Associator3D.cpp:2411-2503)."""
+            (ref CheckIncompatibility, Associator3D.cpp:2411-2503).
+
+            pos_grid [N, W, 3] holds every track's positions on a COMMON
+            absolute time grid (slot k = frame t0+k), have [N, W] marks
+            filled slots.  Pair windows align by construction, so the
+            proximity / crossing checks are pure broadcasts — no per-pair
+            gathers (the previous take_along_axis formulation dominated
+            the hypothesis stage at large pools)."""
             n = tree_ids.shape[0]
             same_tree = tree_ids[:, None] == tree_ids[None, :]
             # shared tracklet id in any camera
@@ -202,31 +174,11 @@ class Associator3D:
             shared = jnp.any((a == b) & (a >= 0), axis=(2, 3, 4))
             incompat = same_tree | shared
 
-            # proximity / crossing over the overlapping window
-            w = win_pts.shape[1]
-            ts = jnp.maximum(t_start[:, None], t_start[None, :])
-            te = jnp.minimum(t_end[:, None], t_end[None, :])
-            overlap = te >= ts
-            k = jnp.arange(w)
-            t_abs = ts[:, :, None] + k[None, None, :]          # [N, N, W]
-            in_ov = (t_abs <= te[:, :, None]) & overlap[:, :, None]
-            idx_i = jnp.clip(t_abs - win_t0[:, None, None], 0, w - 1)
-            idx_j = jnp.clip(t_abs - win_t0[None, :, None], 0, w - 1)
-            # window only covers the tail; positions before win_t0 unchecked
-            have_i = (t_abs >= win_t0[:, None, None]) & \
-                (idx_i < win_len[:, None, None])
-            have_j = (t_abs >= win_t0[None, :, None]) & \
-                (idx_j < win_len[None, :, None])
-            use = in_ov & have_i & have_j
-            pi = jnp.take_along_axis(
-                win_pts[:, None].repeat(n, 1), idx_i[..., None].repeat(3, -1),
-                axis=2)                                       # [N, N, W, 3]
-            pj = jnp.take_along_axis(
-                win_pts[None, :].repeat(n, 0), idx_j[..., None].repeat(3, -1),
-                axis=2)
-            dist = jnp.linalg.norm(pi - pj, axis=-1)
-            near = use & (dist <= acfg.max_moving_speed * 2)
-            too_close = jnp.any(near & (dist < acfg.min_target_proximity), -1)
+            use = have[:, None, :] & have[None, :, :]          # [N, N, W]
+            pi = pos_grid[:, None]                             # [N, 1, W, 3]
+            pj = pos_grid[None, :]                             # [1, N, W, 3]
+            dist = jnp.linalg.norm(pi - pj, axis=-1)           # [N, N, W]
+            too_close = jnp.any(use & (dist < acfg.min_target_proximity), -1)
             cross = segments_intersect(pi[..., :-1, :2], pi[..., 1:, :2],
                                        pj[..., :-1, :2], pj[..., 1:, :2])
             crossing = jnp.any(cross & use[..., :-1] & use[..., 1:], -1)
@@ -235,6 +187,25 @@ class Associator3D:
             return compat & ~jnp.eye(n, dtype=bool)
 
         self._compat_matrix = compat_matrix
+
+        solver_cfg = self.cfg.solver
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def compat_and_solve(tree_ids, tids, pos_grid, have, pvalid,
+                             weights_k, valid_k, init_k, keys, iters):
+            """Fused per-frame hypothesis formation: build the track
+            compatibility graph AND run the K batched BLS solves in one
+            device program (one dispatch, no adjacency round-trip)."""
+            compat = compat_matrix(tree_ids, tids, pos_grid, have, pvalid)
+            nb = compat.shape[0]
+            vmax = solver_cfg.max_vertices
+            adj = jnp.zeros((vmax, vmax), bool).at[:nb, :nb].set(compat)
+            kb = weights_k.shape[0]
+            adj_k = jnp.broadcast_to(adj, (kb, vmax, vmax))
+            return solve_mwcp_batch(weights_k, adj_k, valid_k, init_k,
+                                    keys, solver_cfg, iters)
+
+        self._compat_and_solve = compat_and_solve
 
     # ------------------------------------------------------------------
     # side-map sampling (host, numpy)
@@ -390,6 +361,59 @@ class Associator3D:
     def _visible_anywhere_cam(self, point, c) -> bool:
         return bool(self.host_cams[c].visible(point))
 
+    def _reconstruct_batch(self, combos: List[Tuple[int, ...]]):
+        """Vectorised `_reconstruct` over a list of combinations (full-body
+        mode; head mode falls back to the per-combo path).  One numpy pass
+        replaces N Python-loop reconstructions — the host-side cost of the
+        reference's per-branch reconstruction loop
+        (ref Track3D_BranchTracks, Associator3D.cpp:1885-2047).
+
+        Returns a list aligned with `combos` of
+        (point, raw_points, raw_mask, max_error, cost) or None."""
+        n = len(combos)
+        if n == 0:
+            return []
+        if self.acfg.detection_mode == "head":
+            return [self._reconstruct(c) for c in combos]
+        nc = self.num_cams
+        locs = np.zeros((n, nc, 3))
+        mask = np.zeros((n, nc), bool)
+        sens = np.zeros((n, nc))
+        for i, combo in enumerate(combos):
+            for c, tid in enumerate(combo):
+                if tid < 0:
+                    continue
+                tk = self.tracklets[c][tid]
+                locs[i, c] = tk.loc3d
+                mask[i, c] = True
+                sens[i, c] = tk.sensitivity
+        num = mask.sum(1)
+        max_err = self.acfg.e_cal + self.acfg.e_det * (sens * mask).sum(1)
+        denom = np.maximum(num, 1)[:, None]
+        point = (locs * mask[..., None]).sum(1) / denom
+        d = np.linalg.norm(locs - point[:, None, :], axis=-1)
+        mean_dist = (d * mask).sum(1) / np.maximum(num, 1)
+        single = num < 2
+        prob = np.where(single, 0.5,
+                        0.5 * _erfc(4.0 * mean_dist
+                                    / np.maximum(max_err, 1e-12) - 2.0))
+        ok = (num > 0) & (single | (mean_dist <= max_err))
+        # detection likelihood ratio over cameras where the point is
+        # visible (ref :900-912), vectorised per camera
+        ratio = np.ones(n)
+        a = self.acfg
+        for c, hc in enumerate(self.host_cams):
+            vis = np.asarray(hc.visible(point)).reshape(n)
+            f = np.where(mask[:, c], (1 - a.fp_rate) / a.fp_rate,
+                         a.fn_rate / (1 - a.fn_rate))
+            ratio *= np.where(vis, f, 1.0)
+        p = np.clip(prob, 1e-12, 1 - 1e-12)
+        cost = np.log(1 - p) - np.log(p) - np.log(ratio)
+        return [
+            (point[i], locs[i], mask[i], float(max_err[i]), float(cost[i]))
+            if ok[i] else None
+            for i in range(n)]
+
     # ==================================================================
     # per-frame step
     # ==================================================================
@@ -401,7 +425,7 @@ class Associator3D:
           ids:   [C, T] int tracklet ids from the 2D stage.
           boxes: [C, T, 4] boxes.
           mask:  [C, T] bool.
-          rgb_frames: [C, H, W, 3] float images (for appearance).
+          rgb_frames: [C, H, W, 3] images, uint8 or float (for appearance).
         """
         self.frame_idx = frame_idx
         self.num_frames_proc += 1
@@ -428,8 +452,25 @@ class Associator3D:
     # 7a. tracklet ingest & cross-camera gating (ref :1099-1268)
     # ------------------------------------------------------------------
     def _update_tracklets(self, frame_idx, ids, boxes, mask, rgb_frames):
-        locs, tops, bottoms, hists = jax.device_get(self._ingest(
-            jnp.asarray(boxes), jnp.asarray(mask), jnp.asarray(rgb_frames)))
+        # Tracklet ingest runs on host: the batch is tens of boxes per
+        # camera, far below the size where a device dispatch pays for
+        # itself (the heavy per-frame device programs are the 2D tracker,
+        # window scoring, compatibility and the hypothesis solver).
+        from mcmtt_opticalflow_tpu.ops.histogram import host_rgb_histogram
+        rgb = np.asarray(rgb_frames)
+        locs = np.zeros((self.num_cams,) + boxes.shape[1:2] + (3,))
+        tops = np.zeros_like(locs)
+        bottoms = np.zeros(locs.shape[:2] + (2,))
+        hists = np.zeros(locs.shape[:2] + (3 * self.acfg.num_rgb_bins,),
+                         np.float32)
+        for c in range(self.num_cams):
+            bx = boxes[c]
+            bottom = np.stack([bx[:, 0] + np.ceil(bx[:, 2] / 2.0),
+                               bx[:, 1] + bx[:, 3]], -1)
+            bottoms[c] = bottom
+            locs[c] = self.host_cams[c].image_to_world(bottom, 0.0)
+            tops[c] = self.host_cams[c].image_to_world(bottom, 2000.0)
+            hists[c] = host_rgb_histogram(rgb[c], bx, self.acfg.num_rgb_bins)
 
         for c in range(self.num_cams):
             self.new_measurements[c] = []
@@ -476,18 +517,20 @@ class Associator3D:
                 # else: drop from active list entirely
             self.active_tracklets[c] = still
 
-        # associability maps (ref :1233-1268), batched per camera pair
+        # associability maps (ref :1233-1268), one vectorised host pass for
+        # every (active tracklet, new measurement) camera pair — the
+        # reference's O(T*M) per-pair loop, :1233-1268
         any_new = any(self.new_measurements[c] for c in range(self.num_cams))
         if not any_new:
             return
-        # one device call for every (active tracklet, new measurement)
-        # camera pair (the reference's O(T*M) per-pair loop, :1233-1268)
+        from mcmtt_opticalflow_tpu.geometry.tsai_np import (
+            triangulate_two_lines_np)
         acts = [[self.tracklets[c][t] for t in self.active_tracklets[c]]
                 for c in range(self.num_cams)]
         news = [[self.tracklets[c][t] for t in self.new_measurements[c]]
                 for c in range(self.num_cams)]
-        na = _bucket(max([len(a) for a in acts] + [1]))
-        nb = _bucket(max([len(b) for b in news] + [1]))
+        na = max([len(a) for a in acts] + [1])
+        nb = max([len(b) for b in news] + [1])
         act_top = np.zeros((self.num_cams, na, 3), np.float32)
         act_bot = np.zeros_like(act_top)
         new_top = np.zeros((self.num_cams, nb, 3), np.float32)
@@ -499,9 +542,12 @@ class Associator3D:
             for i, t in enumerate(news[c]):
                 new_top[c, i] = t.bp_top
                 new_bot[c, i] = t.bp_bottom
-        d = np.asarray(self._all_pair_distance(
-            jnp.asarray(act_top), jnp.asarray(act_bot),
-            jnp.asarray(new_top), jnp.asarray(new_bot)))
+        # mean line-to-point distance = half the common-perpendicular gap
+        # (the 2-line case of ref NViewPointReconstruction :930-982)
+        _, gap = triangulate_two_lines_np(
+            act_top[:, :, None, None], act_bot[:, :, None, None],
+            new_top[None, None, :, :], new_bot[None, None, :, :])
+        d = 0.5 * gap
         ok = d <= self.acfg.max_tracklet_distance
         for c1 in range(self.num_cams):
             for i, t in enumerate(acts[c1]):
@@ -516,9 +562,9 @@ class Associator3D:
     # ------------------------------------------------------------------
     def _update_tracks(self, frame_idx):
         reg = self.registry
-        new_active: List[int] = []
         pending: List[Tuple[Track, tuple]] = []
 
+        live: List[Track] = []
         for tid in self.active_tracks:
             tr = reg.tracks.get(tid)
             if tr is None or not tr.valid:
@@ -547,14 +593,19 @@ class Associator3D:
                 tr.cost_exit = self._exit_cost(pts, tr.duration)
                 self.paused_tracks.append(tid)
                 continue
+            live.append(tr)
 
-            rec = self._reconstruct(tr.combination)
-            if rec is None:
-                tr.valid = False
-                continue
-            point, raws, rmask, max_err, cost_rec = rec
-            p_link = _link_prob_np(tr.points[-1], point, 1.0,
-                                   self.acfg.max_moving_speed)
+        recs = self._reconstruct_batch([tr.combination for tr in live])
+        ok_idx = [i for i, r in enumerate(recs) if r is not None]
+        if ok_idx:
+            p_links = _link_prob_batch(
+                np.stack([live[i].points[-1] for i in ok_idx]),
+                np.stack([recs[i][0] for i in ok_idx]),
+                np.ones(len(ok_idx)), self.acfg.max_moving_speed)
+        for j, i in enumerate(ok_idx):
+            tr = live[i]
+            point, raws, rmask, max_err, cost_rec = recs[i]
+            p_link = float(p_links[j])
             if p_link < self.acfg.min_linking_probability:
                 tr.valid = False
                 continue
@@ -565,15 +616,15 @@ class Associator3D:
             tr.n_measured = tr.length
             tr.num_outpoint = 0
             pending.append((tr, None))
-            new_active.append(tid)
+        for i, r in enumerate(recs):
+            if r is None:
+                live[i].valid = False
 
-        # batched re-smoothing + re-costing of all updated tracks
-        self._rescore_tails([t for t, _ in pending])
-        still_active = []
-        for tr, _ in pending:
-            if tr.valid:
-                still_active.append(tr.id)
-        self.active_tracks = still_active
+        # re-smoothing + re-costing of the updated tracks is DEFERRED and
+        # batched together with the branch candidates' scoring in
+        # _branch_tracks — one device dispatch per frame instead of two
+        self._pending_rescore = [tr for tr, _ in pending]
+        self.active_tracks = [tr.id for tr, _ in pending]
 
         # paused tracks: dummy extrapolation (ref :1529-1584)
         new_paused = []
@@ -739,11 +790,9 @@ class Associator3D:
         maps = [np.ones(len(self.new_measurements[c]), bool)
                 for c in range(self.num_cams)]
         self._generate_combinations(maps, [-1] * self.num_cams, 0, combos)
+        combos = [c for c in combos if any(t >= 0 for t in c)]
         seeds = []
-        for combo in combos:
-            if all(t < 0 for t in combo):
-                continue
-            rec = self._reconstruct(combo)
+        for combo, rec in zip(combos, self._reconstruct_batch(combos)):
             if rec is None:
                 continue
             point, raws, rmask, max_err, cost_rec = rec
@@ -796,6 +845,7 @@ class Associator3D:
     def _branch_tracks(self, frame_idx, seeds: List[int]):
         reg = self.registry
         candidates: List[Track] = []
+        spatial_pairs: List[Tuple[Track, Tuple[int, ...]]] = []
 
         # ---- spatial branching -------------------------------------------
         order = sorted(
@@ -819,9 +869,27 @@ class Associator3D:
             self._generate_combinations(maps, list(combo), 0, branches,
                                         cap=64)
             for br in branches:
-                if br == combo:
+                if br != combo:
+                    spatial_pairs.append((tr, br))
+
+        # batch-reconstruct all spatial branch combinations, then batch the
+        # link probabilities for the survivors
+        recs = self._reconstruct_batch([br for _, br in spatial_pairs])
+        ok_idx = [i for i, r in enumerate(recs) if r is not None]
+        if ok_idx:
+            prev_pts = np.stack([
+                spatial_pairs[i][0].points[0]
+                if spatial_pairs[i][0].length < 2
+                else spatial_pairs[i][0].points[-2] for i in ok_idx])
+            p_links = _link_prob_batch(
+                prev_pts, np.stack([recs[i][0] for i in ok_idx]),
+                np.ones(len(ok_idx)), self.acfg.max_moving_speed)
+            for j, i in enumerate(ok_idx):
+                if p_links[j] < self.acfg.min_linking_probability:
                     continue
-                cand = self._make_spatial_branch(frame_idx, tr, br)
+                parent, br = spatial_pairs[i]
+                cand = self._make_spatial_branch(
+                    frame_idx, parent, br, recs[i], float(p_links[j]))
                 if cand is not None:
                     candidates.append(cand)
 
@@ -839,10 +907,14 @@ class Associator3D:
                 if cand is not None:
                     candidates.append(cand)
 
-        if not candidates:
-            return
-        # batched scoring, then accept survivors
-        self._rescore_tails(candidates)
+        # one batched smoothing/scoring pass: this frame's updated tracks
+        # (deferred from _update_tracks) + every branch candidate
+        updated = getattr(self, "_pending_rescore", [])
+        self._pending_rescore = []
+        self._rescore_tails(updated + candidates)
+        if updated:
+            # active_tracks was exactly the updated set; drop rescore kills
+            self.active_tracks = [tr.id for tr in updated if tr.valid]
         for cand in candidates:
             if not cand.valid:
                 continue
@@ -851,19 +923,11 @@ class Associator3D:
             self.active_tracks.append(cand.id)
 
     def _make_spatial_branch(self, frame_idx, parent: Track,
-                             combo: Tuple[int, ...]) -> Optional[Track]:
-        rec = self._reconstruct(combo)
-        if rec is None:
-            return None
+                             combo: Tuple[int, ...], rec,
+                             p_link: float) -> Optional[Track]:
+        """rec/p_link come precomputed from the caller's batched
+        reconstruction + link-probability passes."""
         point, raws, rmask, max_err, cost_rec = rec
-        if parent.length < 2:
-            prev_pt = parent.points[0]
-        else:
-            prev_pt = parent.points[-2]
-        p_link = _link_prob_np(prev_pt, point, 1.0,
-                               self.acfg.max_moving_speed)
-        if p_link < self.acfg.min_linking_probability:
-            return None
         reg = self.registry
         tr = self._clone_track(parent, reg.alloc_track_id(), frame_idx)
         # replace the last position with the branch reconstruction
@@ -1022,39 +1086,35 @@ class Associator3D:
         n = len(pool)
 
         # compatibility matrix on device (bucketed padding, one compile
-        # per graph-size bucket)
+        # per graph-size bucket); track windows land on a COMMON absolute
+        # time grid [frame_idx - W + 1 .. frame_idx] so the device program
+        # needs no per-pair index alignment
         kcap = 16
         nb = _bucket(n)
-        tree_ids = np.full((nb,), -1, np.int64)
+        tree_ids = np.full((nb,), -1, np.int32)
         tids = np.full((nb, self.num_cams, kcap), -1, np.int32)
-        t_start = np.zeros((nb,), np.int64)
-        t_end = np.full((nb,), -1, np.int64)
         w = self.win
-        win_pts = np.zeros((nb, w, 3), np.float32)
-        win_t0 = np.zeros((nb,), np.int32)
-        win_len = np.zeros((nb,), np.int32)
+        pos_grid = np.zeros((nb, w, 3), np.float32)
+        have = np.zeros((nb, w), bool)
         pvalid = np.zeros((nb,), bool)
+        t0_grid = frame_idx - w + 1
         for i, t in enumerate(pool):
             tr = reg.tracks[t]
             tree_ids[i] = tr.tree_id
             for c in range(self.num_cams):
                 h = tr.tid_hist[c][-kcap:]
                 tids[i, c, :len(h)] = h
-            t_start[i] = tr.time_start
-            t_end[i] = tr.time_start + tr.length - 1
-            ln = min(tr.length, w)
-            win_pts[i, :ln] = tr.points[tr.length - ln:]
-            win_t0[i] = tr.time_start + tr.length - ln
-            win_len[i] = ln
+            te = tr.time_start + tr.length - 1
+            ts = max(tr.time_start, t0_grid)
+            if te >= ts:
+                k0 = ts - t0_grid
+                s0 = ts - tr.time_start
+                ln = te - ts + 1
+                pos_grid[i, k0:k0 + ln] = tr.points[s0:s0 + ln]
+                have[i, k0:k0 + ln] = True
             pvalid[i] = True
         # pad rows get unique fake tree ids so they never count as same-tree
         tree_ids[n:] = -(np.arange(nb - n) + 2)
-        compat = np.zeros((vmax, vmax), bool)
-        compat_n = np.asarray(self._compat_matrix(
-            jnp.asarray(tree_ids), jnp.asarray(tids), jnp.asarray(t_start),
-            jnp.asarray(t_end), jnp.asarray(win_pts), jnp.asarray(win_t0),
-            jnp.asarray(win_len), jnp.asarray(pvalid)))
-        compat[:n, :n] = compat_n[:n, :n]
 
         weights = np.zeros((vmax,), np.float32)
         for i, t in enumerate(pool):
@@ -1086,11 +1146,11 @@ class Associator3D:
         self.solver_key, k = jax.random.split(self.solver_key)
         keys = jax.random.split(k, kb)
         weights_k = np.broadcast_to(weights, (kb, vmax))
-        compat_k = np.broadcast_to(compat, (kb, vmax, vmax))
-        res = jax.device_get(solve_mwcp_batch(
-            jnp.asarray(weights_k), jnp.asarray(compat_k),
-            jnp.asarray(valid_k), jnp.asarray(init_k),
-            keys, self.cfg.solver, iters))
+        res = jax.device_get(self._compat_and_solve(
+            jnp.asarray(tree_ids), jnp.asarray(tids), jnp.asarray(pos_grid),
+            jnp.asarray(have), jnp.asarray(pvalid),
+            jnp.asarray(weights_k), jnp.asarray(valid_k),
+            jnp.asarray(init_k), keys, iters))
         for hi in range(len(hyp_inputs)):
             sub = jax.tree.map(lambda x: x[hi], res)
             masks, scores = collect_k_best(sub, self.acfg.k_best_size)

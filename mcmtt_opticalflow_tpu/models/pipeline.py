@@ -44,11 +44,18 @@ class TrackingEngine:
             cfg.tracker2d, cfg.image_height, cfg.image_width,
             num_cameras=cfg.num_cameras)
         self.assoc = Associator3D(cfg, cameras)
+        # Only GRAY frames cross the host-device boundary, as uint8 — 12x
+        # less PCIe/tunnel traffic than f32 RGB.  The 2D LK stage is the
+        # only consumer of pixels on device; appearance histograms ingest
+        # on host.  8-bit gray matches the reference, whose cvtColor
+        # produces CV_8U gray from 8-bit JPEGs (ref Tracker2D.cpp:256-262).
+        self._dequant = jax.jit(
+            lambda u8: u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0))
         self.frame_idx = -1
         self.results: List[Track3DResult] = []
         self.timing: List[float] = []
         self.pipelined = pipelined
-        self._pending = None   # (frame_idx, out2d device arrays, rgb_dev)
+        self._pending = None   # (frame_idx, out2d device arrays, host rgb u8)
 
     def _pad_detections(self, detections):
         c = self.cfg.num_cameras
@@ -66,15 +73,23 @@ class TrackingEngine:
                       detections: Sequence[np.ndarray],
                       frame_idx: Optional[int] = None) -> Track3DResult:
         """Args:
-          frames_rgb: [C, H, W, 3] float images in [0, 1].
+          frames_rgb: [C, H, W, 3] images — uint8 in [0, 255] (preferred;
+            this is what dataset JPEGs decode to) or float in [0, 1]
+            (quantised to uint8 on the host before upload).
           detections: per camera [K_c, 4] (x, y, w, h) arrays.
         """
         t0 = time.perf_counter()
         self.frame_idx = self.frame_idx + 1 if frame_idx is None else frame_idx
         boxes, mask = self._pad_detections(detections)
-        # one upload per frame: RGB goes up once, gray is derived on device
-        rgb_dev = jnp.asarray(np.asarray(frames_rgb, np.float32))
-        gray = jnp.mean(rgb_dev, axis=-1)
+        # one upload per frame: 8-bit gray goes up for the LK stage; RGB
+        # stays on host for appearance ingest
+        f = np.asarray(frames_rgb)
+        if f.dtype != np.uint8:
+            f = (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        gray_u8 = ((f[..., 0].astype(np.uint16) + f[..., 1] + f[..., 2])
+                   // 3).astype(np.uint8)
+        with self.assoc.timer.stage("upload"):
+            gray = self._dequant(jnp.asarray(gray_u8))
 
         with self.assoc.timer.stage("tracker2d"):
             # dispatch is async: the device chews on this frame's 2D stage
@@ -84,14 +99,13 @@ class TrackingEngine:
                 self.cams, jnp.int32(self.frame_idx))
 
         if self.pipelined:
-            prev, self._pending = self._pending, (self.frame_idx, out2d,
-                                                  rgb_dev)
+            prev, self._pending = self._pending, (self.frame_idx, out2d, f)
             if prev is None:
                 return None
             prev_idx, prev_out, prev_rgb = prev
             result = self._associate(prev_idx, prev_out, prev_rgb)
         else:
-            result = self._associate(self.frame_idx, out2d, rgb_dev)
+            result = self._associate(self.frame_idx, out2d, f)
         result.processing_time = time.perf_counter() - t0
         self.timing.append(result.processing_time)
         self.results.append(result)

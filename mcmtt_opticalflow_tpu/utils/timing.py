@@ -11,7 +11,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict, Iterator
+from typing import Dict, Iterator, List
 
 
 class StageTimer:
@@ -20,6 +20,7 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.samples: Dict[str, List[float]] = defaultdict(list)
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -27,21 +28,26 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
             self.counts[name] += 1
+            self.samples[name].append(dt)
 
     def summary(self) -> str:
         lines = []
         for name in sorted(self.totals, key=lambda n: -self.totals[n]):
             n = self.counts[name]
             tot = self.totals[name]
+            med = sorted(self.samples[name])[n // 2] if n else 0.0
             lines.append(f"{name:30s} total={tot:8.3f}s "
-                         f"mean={tot / max(n, 1) * 1e3:8.2f}ms n={n}")
+                         f"mean={tot / max(n, 1) * 1e3:8.2f}ms "
+                         f"med={med * 1e3:8.2f}ms n={n}")
         return "\n".join(lines)
 
     def reset(self):
         self.totals.clear()
         self.counts.clear()
+        self.samples.clear()
 
 
 @contextlib.contextmanager

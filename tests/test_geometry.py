@@ -100,6 +100,21 @@ class TestTriangulation:
         np.testing.assert_allclose(float(gap), 1.0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(mid), [0.0, 0.0, 0.5], atol=1e-5)
 
+    def test_host_mirror_matches_device(self, rng):
+        from mcmtt_opticalflow_tpu.geometry.tsai_np import (
+            triangulate_two_lines_np)
+        a1 = rng.rand(5, 3).astype(np.float32) * 100
+        a2 = rng.rand(5, 3).astype(np.float32) * 100
+        b1 = rng.rand(5, 3).astype(np.float32) * 100
+        b2 = rng.rand(5, 3).astype(np.float32) * 100
+        mid_d, gap_d = triangulate_two_lines(
+            jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b1),
+            jnp.asarray(b2))
+        mid_h, gap_h = triangulate_two_lines_np(a1, a2, b1, b2)
+        np.testing.assert_allclose(np.asarray(mid_d), mid_h, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gap_d), gap_h, rtol=1e-3,
+                                   atol=1e-3)
+
     def test_nview_point(self):
         target = jnp.asarray([100.0, 200.0, 1700.0])
         origins = jnp.asarray([[5000.0, 0.0, 3000.0],

@@ -124,6 +124,26 @@ class TestHistogram:
         h = np.asarray(rgb_histogram(img, b))
         assert np.linalg.norm(h[0] - h[1]) > 0.5
 
+    def test_uint8_matches_float(self, rng):
+        from mcmtt_opticalflow_tpu.ops.histogram import host_rgb_histogram
+        img8 = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        boxes = np.asarray([[4.0, 6.0, 20.0, 30.0], [10.0, 2.0, 30.0, 40.0]],
+                           np.float32)
+        h_dev = np.asarray(rgb_histogram(jnp.asarray(img8),
+                                         jnp.asarray(boxes)))
+        h_host = host_rgb_histogram(img8, boxes)
+        np.testing.assert_allclose(h_dev, h_host, atol=1e-6)
+        assert h_host.sum() == pytest.approx(6.0)  # 3 channels x 2 boxes
+
+    def test_host_matches_device_float(self, rng):
+        from mcmtt_opticalflow_tpu.ops.histogram import host_rgb_histogram
+        img = rng.rand(48, 48, 3).astype(np.float32)
+        boxes = np.asarray([[4.0, 6.0, 20.0, 30.0]], np.float32)
+        h_dev = np.asarray(rgb_histogram(jnp.asarray(img),
+                                         jnp.asarray(boxes)))
+        np.testing.assert_allclose(h_dev, host_rgb_histogram(img, boxes),
+                                   atol=1e-6)
+
 
 class TestLK:
     def _textured(self, rng, h=128, w=128):

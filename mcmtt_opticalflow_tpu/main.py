@@ -64,6 +64,12 @@ def run_dataset(args):
     from mcmtt_opticalflow_tpu.eval.experiment import run_sequence
     from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
 
+    if not os.path.isfile(args.parameters):
+        # usage error like the reference (ref psn_where/main.cpp:181-184)
+        print(f"error: parameter file not found: {args.parameters}\n"
+              "usage: python -m mcmtt_opticalflow_tpu.main <parameters.txt>"
+              " | --synthetic", file=sys.stderr)
+        raise SystemExit(2)
     params = parse_parameters_txt(open(args.parameters).read())
     root = params.get("DATASET_PATH", ".")
     start = int(params.get("START_FRAME_IDX", 0))

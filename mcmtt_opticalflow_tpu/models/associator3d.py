@@ -716,9 +716,10 @@ class Associator3D:
             rmask[i, :ln] = tr.raw_mask[starts[i]:]
             merr[i, :ln] = tr.max_error[starts[i]:]
             lens[i] = ln
-        res = jax.device_get(self._score_windows(
-            jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
-            jnp.asarray(merr), jnp.asarray(lens)))
+        with self.timer.stage("rescore.device"):
+            res = jax.device_get(self._score_windows(
+                jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
+                jnp.asarray(merr), jnp.asarray(lens)))
         smoothed = res.smoothed
         velocity = res.velocity
         cost_r = res.cost_recon
@@ -1146,25 +1147,27 @@ class Associator3D:
         self.solver_key, k = jax.random.split(self.solver_key)
         keys = jax.random.split(k, kb)
         weights_k = np.broadcast_to(weights, (kb, vmax))
-        res = jax.device_get(self._compat_and_solve(
-            jnp.asarray(tree_ids), jnp.asarray(tids), jnp.asarray(pos_grid),
-            jnp.asarray(have), jnp.asarray(pvalid),
-            jnp.asarray(weights_k), jnp.asarray(valid_k),
-            jnp.asarray(init_k), keys, iters))
-        for hi in range(len(hyp_inputs)):
-            sub = jax.tree.map(lambda x: x[hi], res)
-            masks, scores = collect_k_best(sub, self.acfg.k_best_size)
-            for m, s in zip(masks, scores):
-                sel = frozenset(pool[i] for i in np.where(m[:n])[0])
-                if sel:
-                    all_solutions.append((sel, s))
+        with self.timer.stage("hyp.solve"):
+            res = jax.device_get(self._compat_and_solve(
+                jnp.asarray(tree_ids), jnp.asarray(tids),
+                jnp.asarray(pos_grid), jnp.asarray(have),
+                jnp.asarray(pvalid), jnp.asarray(weights_k),
+                jnp.asarray(valid_k), jnp.asarray(init_k), keys, iters))
+        with self.timer.stage("hyp.collect"):
+            for hi in range(len(hyp_inputs)):
+                sub = jax.tree.map(lambda x: x[hi], res)
+                masks, scores = collect_k_best(sub, self.acfg.k_best_size)
+                for m, s in zip(masks, scores):
+                    sel = frozenset(pool[i] for i in np.where(m[:n])[0])
+                    if sel:
+                        all_solutions.append((sel, s))
 
-        # dedup (ref :2812-2828)
-        uniq: List[Tuple[frozenset, float]] = []
+        # dedup (ref :2812-2828); same track set => same likelihood, so a
+        # dict keyed by the set is exact
+        dedup: Dict[frozenset, float] = {}
         for sel, s in all_solutions:
-            if not any(abs(s - s2) < 1e-5 and sel == sel2
-                       for sel2, s2 in uniq):
-                uniq.append((sel, s))
+            dedup.setdefault(sel, s)
+        uniq = list(dedup.items())
         uniq.sort(key=lambda x: -x[1])
         uniq = uniq[:max(self.acfg.k_best_size, 1)]
 

@@ -69,9 +69,9 @@ def _move_sets(in_c, adj, valid):
     return cnt, csize, pa, om
 
 
-def _gumbel_pick(key, mask):
-    """Uniform random index among True entries (NEG-masked gumbel argmax)."""
-    g = jax.random.gumbel(key, mask.shape)
+def _gumbel_pick(g, mask):
+    """Uniform random index among True entries (NEG-masked gumbel argmax).
+    g is a pregenerated gumbel field of mask's shape."""
     return jnp.argmax(jnp.where(mask, g, NEG)), jnp.any(mask)
 
 
@@ -159,7 +159,8 @@ def solve_mwcp(weights: jnp.ndarray,
     adjc_f = (~adj).astype(jnp.float32)
 
     def one_replica_step(st_in_c, st_tabu, st_fbest, st_best, st_cp, st_w,
-                         st_l, st_dir, st_sm, st_ss, st_sn, it, k):
+                         st_l, st_dir, st_sm, st_ss, st_sn, it,
+                         u_dir, g_dir, u_ten, g_rnd):
         in_c_f = st_in_c.astype(jnp.float32)
         cnt = (adj_f @ in_c_f).astype(jnp.int32)
         csize = jnp.sum(st_in_c)
@@ -207,10 +208,9 @@ def solve_mwcp(weights: jnp.ndarray,
         new_cp = jnp.where(at_opt, st_in_c, st_cp)
 
         # perturbation flavour (ref BLS_Perturbation, GraphSolver.cpp:1173-1184)
-        k1, k2, k3, k4 = jax.random.split(k, 4)
         p = jnp.where(st_w == 0, 0.0,
                       jnp.minimum(jnp.exp(-st_w / cfg.t_nonimprove), cfg.p0))
-        directed = jax.random.uniform(k1) < p
+        directed = u_dir < p
         new_dir = jnp.where(at_opt, directed, st_dir)
         new_l = jnp.where(at_opt, l_new, st_l)
 
@@ -220,7 +220,7 @@ def solve_mwcp(weights: jnp.ndarray,
         # directed: uniform among {PA insert (tabu ok)} U {OM swap (tabu ok)}
         # U {C removal}
         dir_mask = (pa & tabu_ok) | (om & tabu_ok) | st_in_c
-        dv, dany = _gumbel_pick(k2, dir_mask)
+        dv, dany = _gumbel_pick(g_dir, dir_mask)
         d_is_rem = st_in_c[dv]
         d_is_swap = om[dv]
         d_partner = jnp.argmax(st_in_c & ~adj[dv])
@@ -230,8 +230,8 @@ def solve_mwcp(weights: jnp.ndarray,
                              pert_dir.at[d_partner].set(False), pert_dir)
         # tabu stamp on removed vertices (ref :1658-1661)
         om_count = jnp.sum(om)
-        tenure = cfg.phi + jax.random.randint(
-            k3, (), 0, jnp.maximum(om_count, 1))
+        tenure = cfg.phi + (u_ten * jnp.maximum(om_count, 1)
+                            ).astype(jnp.int32)
         removed_dir = jnp.where(d_is_rem, dv, jnp.where(d_is_swap, d_partner, -1))
 
         # random: uniform among OC with (tabu ok | strong neighbourhood),
@@ -239,7 +239,7 @@ def solve_mwcp(weights: jnp.ndarray,
         alpha = jnp.where(st_w == 0, cfg.alpha_s, cfg.alpha_r)
         nbr_w_in_c = adj_f @ in_w
         rnd_mask = valid & ~st_in_c & (tabu_ok | (nbr_w_in_c >= alpha * fc))
-        rv, rany = _gumbel_pick(k4, rnd_mask)
+        rv, rany = _gumbel_pick(g_rnd, rnd_mask)
         pert_rnd = (st_in_c & adj[rv]).at[rv].set(True)
 
         use_dir_now = jnp.where(at_opt, directed, st_dir)
@@ -256,12 +256,22 @@ def solve_mwcp(weights: jnp.ndarray,
         return (out_in_c, new_tabu, new_fbest, new_best, new_cp, new_w,
                 out_l, new_dir, st_sm, st_ss, st_sn)
 
+    # pregenerate ALL the loop's randomness in one parallel pass — the
+    # per-iteration threefry splits otherwise dominate the (latency-bound)
+    # while-loop body
+    ku1, kg2, ku3, kg4 = jax.random.split(keys[r], 4)
+    u_dir_all = jax.random.uniform(ku1, (iters, r))
+    g_dir_all = jax.random.gumbel(kg2, (iters, r, v))
+    u_ten_all = jax.random.uniform(ku3, (iters, r))
+    g_rnd_all = jax.random.gumbel(kg4, (iters, r, v))
+
     def step(st: _S) -> _S:
-        ks = jax.random.split(jax.random.fold_in(keys[r], st.it), r)
         outs = jax.vmap(one_replica_step)(
             st.in_c, st.tabu, st.fbest, st.best, st.cp, st.w, st.l_left,
             st.use_directed, st.sol_masks, st.sol_scores, st.sol_next,
-            jnp.broadcast_to(st.it, (r,)), ks)
+            jnp.broadcast_to(st.it, (r,)),
+            u_dir_all[st.it], g_dir_all[st.it], u_ten_all[st.it],
+            g_rnd_all[st.it])
         return _S(*outs, st.it + 1)
 
     st0 = _S(
@@ -310,17 +320,19 @@ def collect_k_best(result: MwcpResult, k: int):
     keep = scores > NEG / 2
     masks, scores = masks[keep], scores[keep]
     order = np.argsort(-scores)
+    # identical masks always carry identical scores (score is the mask's
+    # weight sum), so dedup hashes the packed mask bytes — O(n), not the
+    # reference's O(n^2) pairwise comparison
+    packed = np.packbits(masks[order], axis=1)
     out_masks, out_scores = [], []
-    for i in order:
-        dup = False
-        for j, sc in enumerate(out_scores):
-            if abs(sc - scores[i]) < 1e-5 and np.array_equal(out_masks[j],
-                                                             masks[i]):
-                dup = True
-                break
-        if not dup:
-            out_masks.append(masks[i])
-            out_scores.append(float(scores[i]))
-            if len(out_masks) >= k:
-                break
+    seen = set()
+    for j, i in enumerate(order):
+        key = packed[j].tobytes()
+        if key in seen:
+            continue
+        seen.add(key)
+        out_masks.append(masks[i])
+        out_scores.append(float(scores[i]))
+        if len(out_masks) >= k:
+            break
     return out_masks, out_scores

@@ -145,11 +145,16 @@ class Associator3D:
     # device programs
     # ------------------------------------------------------------------
     def _build_device_fns(self):
-        cams = self.cams
         acfg = self.acfg
 
+        # NOTE: device-resident arrays (the stacked cameras) must be passed
+        # as ARGUMENTS, never closed over — a captured device array becomes
+        # an executable-embedded constant, which forces the axon runtime to
+        # synchronise EVERY subsequent dispatch in the process (~25 ms
+        # each, observed; async dispatch never recovers).
         @functools.partial(jax.jit, static_argnames=())
-        def score_windows(points, raw_points, raw_mask, max_error, lengths):
+        def score_windows(points, raw_points, raw_mask, max_error, lengths,
+                          cams):
             return score_track_windows(points, raw_points, raw_mask,
                                        max_error, lengths, cams, acfg)
 
@@ -719,7 +724,7 @@ class Associator3D:
         with self.timer.stage("rescore.device"):
             res = jax.device_get(self._score_windows(
                 jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
-                jnp.asarray(merr), jnp.asarray(lens)))
+                jnp.asarray(merr), jnp.asarray(lens), self.cams))
         smoothed = res.smoothed
         velocity = res.velocity
         cost_r = res.cost_recon

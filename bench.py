@@ -45,8 +45,13 @@ def main():
 
     # warmup (compilation; the engine's device programs compile on the
     # first few frames as batch-size buckets appear)
+    verbose = os.environ.get("BENCH_VERBOSE")
     for t in range(4):
+        tw = time.perf_counter()
         eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
+        if verbose:
+            print(f"warmup frame {t}: {time.perf_counter() - tw:.1f}s",
+                  file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     per_frame = []
@@ -58,7 +63,7 @@ def main():
 
     # median per-frame time is robust to residual bucket compiles mid-run
     fps = 1.0 / float(np.median(per_frame))
-    if os.environ.get("BENCH_VERBOSE"):
+    if verbose:
         print(eng.assoc.timer.summary(), file=sys.stderr)
         print(f"per-frame: {[round(x, 2) for x in per_frame]}",
               file=sys.stderr)

@@ -196,21 +196,40 @@ class Associator3D:
         solver_cfg = self.cfg.solver
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def compat_and_solve(tree_ids, tids, pos_grid, have, pvalid,
-                             weights_k, valid_k, init_k, keys, iters):
-            """Fused per-frame hypothesis formation: build the track
-            compatibility graph AND run the K batched BLS solves in one
-            device program (one dispatch, no adjacency round-trip)."""
-            compat = compat_matrix(tree_ids, tids, pos_grid, have, pvalid)
-            nb = compat.shape[0]
+        def rescore_and_solve(pts, raws, rmask, merr, lens, cams,
+                              row_map, host_base,
+                              tree_ids, tids, pos_grid, have, pvalid,
+                              valid_k, init_k, keys, iters):
+            """ONE dispatch per frame for the whole 3D scoring tail: window
+            re-smoothing/re-costing of every updated track and branch
+            candidate, track weights (host cost prefix + device window
+            cost), the compatibility graph, and the K batched BLS solves.
+            Replaces two dependent dispatch->get chains (each ~26 ms of
+            tunnel RTT on axon) with one."""
+            ws = score_track_windows(pts, raws, rmask, merr, lens, cams,
+                                     acfg)
+            nb = tree_ids.shape[0]
             vmax = solver_cfg.max_vertices
+            rm = jnp.clip(row_map, 0)
+            has_row = row_map >= 0
+            wcost = jnp.where(has_row, ws.window_cost[rm], 0.0)
+            wvalid = jnp.where(has_row, ws.valid[rm], True)
+            weights = -(host_base + wcost)              # [vmax]
+            # vertices need positive log-likelihood (the host-side
+            # total_cost() < 0 filter of the unfused path)
+            vert_ok = wvalid & (weights > 0.0)
+            compat = compat_matrix(tree_ids, tids, pos_grid, have,
+                                   pvalid & vert_ok[:nb])
             adj = jnp.zeros((vmax, vmax), bool).at[:nb, :nb].set(compat)
-            kb = weights_k.shape[0]
+            kb = valid_k.shape[0]
             adj_k = jnp.broadcast_to(adj, (kb, vmax, vmax))
-            return solve_mwcp_batch(weights_k, adj_k, valid_k, init_k,
-                                    keys, solver_cfg, iters)
+            weights_k = jnp.broadcast_to(weights, (kb, vmax))
+            valid_k = valid_k & vert_ok[None, :]
+            res = solve_mwcp_batch(weights_k, adj_k, valid_k, init_k, keys,
+                                   solver_cfg, iters)
+            return ws, res
 
-        self._compat_and_solve = compat_and_solve
+        self._rescore_and_solve = rescore_and_solve
 
     # ------------------------------------------------------------------
     # side-map sampling (host, numpy)
@@ -698,15 +717,17 @@ class Associator3D:
         tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
         tr.cost_link_pos = np.append(tr.cost_link_pos, cost_link)
 
-    def _rescore_tails(self, tracks: List[Track]):
-        """Batched window re-smoothing + re-costing for a set of tracks
-        (the device replacement for the reference's per-track tail loops,
-        ref :1468-1516)."""
-        if not tracks:
-            return
+    def _pack_windows(self, tracks: List[Track]):
+        """Gather each track's scoring window into padded batch arrays
+        (bucketed batch size — one compile per bucket)."""
         w = self.win
         c = self.num_cams
-        n = _bucket(len(tracks))
+        # floor the bucket at 64: the fused rescore+solve program compiles
+        # once per (rescore bucket, graph bucket) pair, so coarse buckets
+        # keep the combination count at 1 for typical scenes (padding is
+        # cheap; the program is tunnel-latency-bound, not compute-bound)
+        n = _bucket(len(tracks), lo=64)
+        self.timer.push("rescore.prep")
         pts = np.zeros((n, w, 3), np.float32)
         raws = np.zeros((n, w, c, 3), np.float32)
         rmask = np.zeros((n, w, c), bool)
@@ -721,10 +742,26 @@ class Associator3D:
             rmask[i, :ln] = tr.raw_mask[starts[i]:]
             merr[i, :ln] = tr.max_error[starts[i]:]
             lens[i] = ln
-        with self.timer.stage("rescore.device"):
-            res = jax.device_get(self._score_windows(
+        self.timer.pop()
+        return pts, raws, rmask, merr, lens, starts
+
+    def _rescore_tails(self, tracks: List[Track]):
+        """Batched window re-smoothing + re-costing for a set of tracks
+        (the device replacement for the reference's per-track tail loops,
+        ref :1468-1516).  Standalone dispatch — the per-frame hot path
+        instead fuses this into _rescore_and_solve."""
+        if not tracks:
+            return
+        pts, raws, rmask, merr, lens, starts = self._pack_windows(tracks)
+        with self.timer.stage("rescore.dispatch"):
+            out = self._score_windows(
                 jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
-                jnp.asarray(merr), jnp.asarray(lens), self.cams))
+                jnp.asarray(merr), jnp.asarray(lens), self.cams)
+        with self.timer.stage("rescore.device"):
+            res = jax.device_get(out)
+        self._apply_window_scores(tracks, res, lens, starts)
+
+    def _apply_window_scores(self, tracks: List[Track], res, lens, starts):
         smoothed = res.smoothed
         velocity = res.velocity
         cost_r = res.cost_recon
@@ -739,11 +776,13 @@ class Associator3D:
             tr.smoothed[s:] = smoothed[i, :ln]
             tr.velocity[s:] = velocity[i, :ln]
             tr.cost_recon_pos[s:] = cost_r[i, :ln]
-            tr.cost_link_pos[s:] = cost_l[i, :ln]
             if s > 0:
-                # window-interior link cost at the seam stays as previously
-                # computed; position s cost_link refers to link (s-1, s)
-                pass
+                # the device zeroes window position 0's link cost (its
+                # predecessor lies outside the window); the seam link
+                # (s-1, s) keeps its previously computed value
+                tr.cost_link_pos[s + 1:] = cost_l[i, 1:ln]
+            else:
+                tr.cost_link_pos[:] = cost_l[i, :ln]
 
     # ------------------------------------------------------------------
     # 7b. combination generation (ref :1283-1336)
@@ -913,20 +952,18 @@ class Associator3D:
                 if cand is not None:
                     candidates.append(cand)
 
-        # one batched smoothing/scoring pass: this frame's updated tracks
-        # (deferred from _update_tracks) + every branch candidate
+        # The batched smoothing/scoring of this frame's updated tracks
+        # (deferred from _update_tracks) + every branch candidate is fused
+        # into the hypothesis solve (ONE device dispatch per frame).
+        # Candidates register optimistically; _form_hypotheses drops the
+        # ones the device invalidates.
         updated = getattr(self, "_pending_rescore", [])
         self._pending_rescore = []
-        self._rescore_tails(updated + candidates)
-        if updated:
-            # active_tracks was exactly the updated set; drop rescore kills
-            self.active_tracks = [tr.id for tr in updated if tr.valid]
         for cand in candidates:
-            if not cand.valid:
-                continue
             reg.add_track(cand)
             self.tracks_in_window.append(cand.id)
-            self.active_tracks.append(cand.id)
+        self._rescore_updated = updated
+        self._rescore_candidates = candidates
 
     def _make_spatial_branch(self, frame_idx, parent: Track,
                              combo: Tuple[int, ...], rec,
@@ -1039,9 +1076,29 @@ class Associator3D:
     # ------------------------------------------------------------------
     # 7f. hypothesis formation (ref :2589-2834)
     # ------------------------------------------------------------------
+    def _finish_rescore(self, updated: List[Track],
+                        candidates: List[Track], seeds: List[int]):
+        """Post-device bookkeeping: the frame's active set is the surviving
+        updated tracks, this frame's seeds, and the surviving branch
+        candidates.  (The merged-rescore predecessor of this code dropped
+        seeds from the active set whenever any track updated — seed tracks
+        then never received a second position.)"""
+        reg = self.registry
+        self.active_tracks = (
+            [tr.id for tr in updated if tr.valid]
+            + [s for s in seeds
+               if s in reg.tracks and reg.tracks[s].valid]
+            + [c.id for c in candidates if c.valid])
+
     def _form_hypotheses(self, frame_idx, seeds: List[int]):
         reg = self.registry
         vmax = self.cfg.solver.max_vertices
+        updated = getattr(self, "_rescore_updated", [])
+        candidates = getattr(self, "_rescore_candidates", [])
+        self._rescore_updated = []
+        self._rescore_candidates = []
+        rescore = updated + candidates
+        pending = {tr.id for tr in rescore}
 
         # update related sets (ref Hypothesis_UpdateHypotheses :2589-2652)
         hyp_inputs: List[Hypothesis] = []
@@ -1080,10 +1137,15 @@ class Associator3D:
                 if t not in seen and t in reg.tracks \
                         and reg.tracks[t].valid:
                     tr = reg.tracks[t]
-                    if tr.total_cost() < 0.0:   # vertices need loglik > 0
+                    # tracks awaiting this frame's window re-scoring stay
+                    # in; the device applies the loglik > 0 vertex filter
+                    # to them after re-costing
+                    if t in pending or tr.total_cost() < 0.0:
                         seen.add(t)
                         pool.append(t)
         if not pool:
+            self._rescore_tails(rescore)
+            self._finish_rescore(updated, candidates, seeds)
             self.prev_hypotheses = []
             self.best_solution = []
             return
@@ -1095,8 +1157,11 @@ class Associator3D:
         # per graph-size bucket); track windows land on a COMMON absolute
         # time grid [frame_idx - W + 1 .. frame_idx] so the device program
         # needs no per-pair index alignment
+        self.timer.push("hyp.prep")
         kcap = 16
-        nb = _bucket(n)
+        # graph bucket floored at 64 (n <= vmax always): one compile per
+        # coarse bucket, and exactly one for typical scenes
+        nb = min(_bucket(n, lo=64), vmax)
         tree_ids = np.full((nb,), -1, np.int32)
         tids = np.full((nb, self.num_cams, kcap), -1, np.int32)
         w = self.win
@@ -1121,12 +1186,32 @@ class Associator3D:
             pvalid[i] = True
         # pad rows get unique fake tree ids so they never count as same-tree
         tree_ids[n:] = -(np.arange(nb - n) + 2)
-
-        weights = np.zeros((vmax,), np.float32)
-        for i, t in enumerate(pool):
-            weights[i] = -reg.tracks[t].total_cost()
         valid = np.zeros((vmax,), bool)
         valid[:n] = True
+
+        # per-vertex cost split: the window part comes from the device's
+        # fused re-scoring (row_map points into the rescore batch); the
+        # host part is everything outside the window — enter/RGB/exit plus
+        # the pre-window positions' recon costs and link costs up to and
+        # including the seam link (s-1, s), which the device window cannot
+        # see (its predecessor position lies outside the window)
+        pts, raws, rmask, merr, lens, starts = self._pack_windows(rescore)
+        row_of = {tr.id: i for i, tr in enumerate(rescore)}
+        row_map = np.full((vmax,), -1, np.int32)
+        host_base = np.zeros((vmax,), np.float32)
+        for i, t in enumerate(pool):
+            tr = reg.tracks[t]
+            r = row_of.get(t, -1)
+            row_map[i] = r
+            if r >= 0:
+                s = int(starts[r])
+                hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
+                      + float(tr.cost_recon_pos[:s].sum()))
+                if s > 0:
+                    hb += float(tr.cost_link_pos[:s + 1].sum())
+                host_base[i] = hb
+            else:
+                host_base[i] = tr.total_cost()
 
         # solve all K hypotheses in ONE device call: vmapped replica-parallel
         # BLS over the stacked per-hypothesis vertex masks / warm starts
@@ -1151,13 +1236,20 @@ class Associator3D:
         valid_k &= valid[None, :]
         self.solver_key, k = jax.random.split(self.solver_key)
         keys = jax.random.split(k, kb)
-        weights_k = np.broadcast_to(weights, (kb, vmax))
-        with self.timer.stage("hyp.solve"):
-            res = jax.device_get(self._compat_and_solve(
+        self.timer.pop()
+        with self.timer.stage("hyp.dispatch"):
+            out = self._rescore_and_solve(
+                jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
+                jnp.asarray(merr), jnp.asarray(lens), self.cams,
+                jnp.asarray(row_map), jnp.asarray(host_base),
                 jnp.asarray(tree_ids), jnp.asarray(tids),
                 jnp.asarray(pos_grid), jnp.asarray(have),
-                jnp.asarray(pvalid), jnp.asarray(weights_k),
-                jnp.asarray(valid_k), jnp.asarray(init_k), keys, iters))
+                jnp.asarray(pvalid), jnp.asarray(valid_k),
+                jnp.asarray(init_k), keys, iters)
+        with self.timer.stage("hyp.solve"):
+            ws, res = jax.device_get(out)
+        self._apply_window_scores(rescore, ws, lens, starts)
+        self._finish_rescore(updated, candidates, seeds)
         with self.timer.stage("hyp.collect"):
             for hi in range(len(hyp_inputs)):
                 sub = jax.tree.map(lambda x: x[hi], res)

@@ -84,10 +84,11 @@ class TrackingEngine:
         # one upload per frame: 8-bit gray goes up for the LK stage; RGB
         # stays on host for appearance ingest
         f = np.asarray(frames_rgb)
-        if f.dtype != np.uint8:
-            f = (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-        gray_u8 = ((f[..., 0].astype(np.uint16) + f[..., 1] + f[..., 2])
-                   // 3).astype(np.uint8)
+        with self.assoc.timer.stage("gray"):
+            if f.dtype != np.uint8:
+                f = (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            gray_u8 = ((f[..., 0].astype(np.uint16) + f[..., 1] + f[..., 2])
+                       // 3).astype(np.uint8)
         with self.assoc.timer.stage("upload"):
             gray = self._dequant(jnp.asarray(gray_u8))
 
@@ -112,8 +113,9 @@ class TrackingEngine:
         return result
 
     def _associate(self, frame_idx, out2d, rgb_dev) -> Track3DResult:
-        ids_np, boxes_np, mask_np = jax.device_get(
-            (out2d.ids, out2d.boxes, out2d.mask))
+        with self.assoc.timer.stage("get2d"):
+            ids_np, boxes_np, mask_np = jax.device_get(
+                (out2d.ids, out2d.boxes, out2d.mask))
         return self.assoc.step(frame_idx, ids_np, boxes_np, mask_np, rgb_dev)
 
     def flush(self) -> Optional[Track3DResult]:

@@ -33,6 +33,19 @@ class StageTimer:
             self.counts[name] += 1
             self.samples[name].append(dt)
 
+    def push(self, name: str) -> None:
+        """Open a stage without lexical scoping (close with pop())."""
+        if not hasattr(self, "_open"):
+            self._open: List = []
+        self._open.append((name, time.perf_counter()))
+
+    def pop(self) -> None:
+        name, t0 = self._open.pop()
+        dt = time.perf_counter() - t0
+        self.totals[name] += dt
+        self.counts[name] += 1
+        self.samples[name].append(dt)
+
     def summary(self) -> str:
         lines = []
         for name in sorted(self.totals, key=lambda n: -self.totals[n]):

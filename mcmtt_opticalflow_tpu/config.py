@@ -140,8 +140,13 @@ class SolverConfig:
     alpha_r: float = 0.8              # GraphSolver.cpp:545
     alpha_s: float = 0.8              # GraphSolver.cpp:544
     solutions_per_replica: int = 16   # local-optima ring buffer per replica
-    solve_batch: int = 16             # hypotheses solved per device call
-    #                                   (fixed so the solver compiles once)
+    solve_batch: int = 16             # instances per vmapped solve_mwcp_batch
+    #                                   call (microbench/ad-hoc batching; the
+    #                                   engine's fused per-frame path instead
+    #                                   solves ONE instance whose replica
+    #                                   count is num_replicas + k_best_size —
+    #                                   every carried hypothesis warm-starts
+    #                                   a replica)
     seed: int = 0                     # deterministic (ref uses rand())
 
 

@@ -34,8 +34,7 @@ from mcmtt_opticalflow_tpu.geometry.triangulation import segments_intersect
 from mcmtt_opticalflow_tpu.geometry.sidemaps import (
     projection_sensitivity_map, distance_from_boundary_map)
 from mcmtt_opticalflow_tpu.models.costs import score_track_windows
-from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp_batch,
-                                               collect_k_best)
+from mcmtt_opticalflow_tpu.models.mwcp import solve_mwcp, collect_k_best
 from mcmtt_opticalflow_tpu.models.trees import (
     Track, TrackRegistry, Tracklet)
 from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
@@ -99,18 +98,44 @@ class Track3DResult:
 
 
 class Associator3D:
-    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera]):
+    def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
+                 sidemaps: Optional[Sequence[Tuple]] = None, mesh=None):
+        """sidemaps: optional per-camera (sensitivity_map, boundary_map,
+        stride) triples — e.g. the reference's precomputed text matrices
+        via geometry.sidemaps.load_or_compute_sidemaps (ref
+        PSNWhere.cpp:103-122).  Default: computed from the Tsai model.
+
+        mesh: optional ('cam', 'block') jax.sharding.Mesh.  When given,
+        the fused per-frame device program runs SPMD: the track-window
+        batch, the compatibility matrix rows and the hypothesis batch are
+        sharded over ALL mesh devices (host inputs are device_put with
+        explicit shardings; XLA GSPMD inserts the collectives) — the
+        device-parallel replacement for the reference's OpenMP hypothesis
+        loop (ref PSNWhere_Associator3D.cpp:2676-2684)."""
         self.cfg = cfg
         self.acfg = cfg.assoc3d
         self.num_cams = len(cameras)
         self.cameras = list(cameras)
         self.cams = stack_cameras(cameras)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._s_rep = NamedSharding(mesh, P())
+            self._s_blocks = NamedSharding(mesh, P(("cam", "block")))
+            self.cams = jax.device_put(self.cams, self._s_rep)
 
         w, h = cfg.image_width, cfg.image_height
-        self.sens_maps = [np.asarray(projection_sensitivity_map(
-            c, w, h, _MAP_STRIDE)) for c in cameras]
-        self.bound_maps = [np.asarray(distance_from_boundary_map(
-            c, w, h, _MAP_STRIDE)) for c in cameras]
+        if sidemaps is not None:
+            assert len(sidemaps) == self.num_cams
+            self.sens_maps = [np.asarray(s[0]) for s in sidemaps]
+            self.bound_maps = [np.asarray(s[1]) for s in sidemaps]
+            self.map_strides = [int(s[2]) for s in sidemaps]
+        else:
+            self.sens_maps = [np.asarray(projection_sensitivity_map(
+                c, w, h, _MAP_STRIDE)) for c in cameras]
+            self.bound_maps = [np.asarray(distance_from_boundary_map(
+                c, w, h, _MAP_STRIDE)) for c in cameras]
+            self.map_strides = [_MAP_STRIDE] * self.num_cams
 
         from mcmtt_opticalflow_tpu.geometry.tsai_np import HostCamera
         self.host_cams = [HostCamera(c) for c in cameras]
@@ -161,9 +186,14 @@ class Associator3D:
         self._score_windows = score_windows
 
         @jax.jit
-        def compat_matrix(tree_ids, tids, pos_grid, have, valid):
+        def compat_matrix(tree_ids, shared, pos_grid, have, valid):
             """[N, N] bool COMPATIBILITY (edge) matrix
             (ref CheckIncompatibility, Associator3D.cpp:2411-2503).
+
+            `shared` [N, N] is the host-precomputed full-history tracklet-
+            share relation (the reference scans each track pair's complete
+            per-camera id deques, ref :2422-2466; the host builds the exact
+            relation as one sparse incidence product — see _shared_matrix).
 
             pos_grid [N, W, 3] holds every track's positions on a COMMON
             absolute time grid (slot k = frame t0+k), have [N, W] marks
@@ -173,39 +203,50 @@ class Associator3D:
             the hypothesis stage at large pools)."""
             n = tree_ids.shape[0]
             same_tree = tree_ids[:, None] == tree_ids[None, :]
-            # shared tracklet id in any camera
-            a = tids[:, None, :, :, None]          # [N, 1, C, K, 1]
-            b = tids[None, :, :, None, :]          # [1, N, C, 1, K]
-            shared = jnp.any((a == b) & (a >= 0), axis=(2, 3, 4))
             incompat = same_tree | shared
 
             use = have[:, None, :] & have[None, :, :]          # [N, N, W]
             pi = pos_grid[:, None]                             # [N, 1, W, 3]
             pj = pos_grid[None, :]                             # [1, N, W, 3]
             dist = jnp.linalg.norm(pi - pj, axis=-1)           # [N, N, W]
+            # the reference skips BOTH checks when the tracks are far apart
+            # at that instant (`> MAX_MOVING_SPEED * 2` continue, ref :2489)
+            near = dist <= 2.0 * acfg.max_moving_speed
             too_close = jnp.any(use & (dist < acfg.min_target_proximity), -1)
             cross = segments_intersect(pi[..., :-1, :2], pi[..., 1:, :2],
                                        pj[..., :-1, :2], pj[..., 1:, :2])
-            crossing = jnp.any(cross & use[..., :-1] & use[..., 1:], -1)
+            crossing = jnp.any(cross & near[..., :-1]
+                               & use[..., :-1] & use[..., 1:], -1)
             incompat = incompat | too_close | crossing
             compat = ~incompat & valid[:, None] & valid[None, :]
             return compat & ~jnp.eye(n, dtype=bool)
 
         self._compat_matrix = compat_matrix
 
-        solver_cfg = self.cfg.solver
+        # ONE MWCP instance per frame, with every carried hypothesis warm-
+        # starting one replica: base exploration replicas + k_best_size
+        # warm slots.  The replica count is static, so the fused program
+        # compiles once — the reference instead solves K instances on
+        # OpenMP threads (ref Associator3D.cpp:2676-2684), whose device
+        # equivalent (a K-batched solve) costs K-fold compute for the same
+        # merged-local-optima K-best list.
+        solver_cfg = dataclasses.replace(
+            self.cfg.solver,
+            num_replicas=self.cfg.solver.num_replicas
+            + self.acfg.k_best_size)
+        self._solver_cfg_fused = solver_cfg
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def rescore_and_solve(pts, raws, rmask, merr, lens, cams,
                               row_map, host_base,
-                              tree_ids, tids, pos_grid, have, pvalid,
-                              valid_k, init_k, keys, iters):
+                              tree_ids, shared, pos_grid, have, pvalid,
+                              init_masks, key, iters):
             """ONE dispatch per frame for the whole 3D scoring tail: window
             re-smoothing/re-costing of every updated track and branch
             candidate, track weights (host cost prefix + device window
-            cost), the compatibility graph, and the K batched BLS solves.
-            Replaces two dependent dispatch->get chains (each ~26 ms of
-            tunnel RTT on axon) with one."""
+            cost), the compatibility graph, and the replica-parallel BLS
+            solve.  Replaces two dependent dispatch->get chains (each
+            ~26 ms of tunnel RTT on axon) with one."""
             ws = score_track_windows(pts, raws, rmask, merr, lens, cams,
                                      acfg)
             nb = tree_ids.shape[0]
@@ -218,26 +259,39 @@ class Associator3D:
             # vertices need positive log-likelihood (the host-side
             # total_cost() < 0 filter of the unfused path)
             vert_ok = wvalid & (weights > 0.0)
-            compat = compat_matrix(tree_ids, tids, pos_grid, have,
+            compat = compat_matrix(tree_ids, shared, pos_grid, have,
                                    pvalid & vert_ok[:nb])
             adj = jnp.zeros((vmax, vmax), bool).at[:nb, :nb].set(compat)
-            kb = valid_k.shape[0]
-            adj_k = jnp.broadcast_to(adj, (kb, vmax, vmax))
-            weights_k = jnp.broadcast_to(weights, (kb, vmax))
-            valid_k = valid_k & vert_ok[None, :]
-            res = solve_mwcp_batch(weights_k, adj_k, valid_k, init_k, keys,
-                                   solver_cfg, iters)
+            valid = vert_ok & jnp.zeros((vmax,), bool).at[:nb].set(pvalid)
+            res = solve_mwcp(weights, adj, valid, init_masks, key,
+                             solver_cfg, iters)
             return ws, res
 
         self._rescore_and_solve = rescore_and_solve
+
+    # ------------------------------------------------------------------
+    # host -> device placement
+    # ------------------------------------------------------------------
+    def _dev(self, x, shard: bool = False):
+        """Upload a host array.  With a mesh: explicit sharding — leading
+        axis split over all devices when `shard` is set and the size
+        divides the mesh (else replicated).  Without a mesh: plain
+        transfer."""
+        a = jnp.asarray(x)
+        if self.mesh is None:
+            return a
+        if shard and a.ndim > 0 and a.shape[0] % self.mesh.size == 0:
+            return jax.device_put(a, self._s_blocks)
+        return jax.device_put(a, self._s_rep)
 
     # ------------------------------------------------------------------
     # side-map sampling (host, numpy)
     # ------------------------------------------------------------------
     def _sensitivity_at(self, cam_idx: int, uv: np.ndarray) -> float:
         m = self.sens_maps[cam_idx]
-        iu = int(np.clip(uv[0] / _MAP_STRIDE, 0, m.shape[1] - 1))
-        iv = int(np.clip(uv[1] / _MAP_STRIDE, 0, m.shape[0] - 1))
+        st = self.map_strides[cam_idx]
+        iu = int(np.clip(uv[0] / st, 0, m.shape[1] - 1))
+        iv = int(np.clip(uv[1] / st, 0, m.shape[0] - 1))
         return float(m[iv, iu])
 
     def _distance_from_boundary(self, points: np.ndarray) -> float:
@@ -247,16 +301,17 @@ class Associator3D:
         best = -100.0
         pts = np.atleast_2d(points)
         for c, hc in enumerate(self.host_cams):
-            uvs = hc.world_to_image(pts)
+            uvs = np.atleast_2d(hc.world_to_image(pts))
             m = self.bound_maps[c]
-            for uv in np.atleast_2d(uvs):
-                if not (np.isfinite(uv).all()
-                        and 0 <= uv[0] < self.cfg.image_width
-                        and 0 <= uv[1] < self.cfg.image_height):
-                    continue
-                iu = int(np.clip(uv[0] / _MAP_STRIDE, 0, m.shape[1] - 1))
-                iv = int(np.clip(uv[1] / _MAP_STRIDE, 0, m.shape[0] - 1))
-                best = max(best, float(m[iv, iu]))
+            st = self.map_strides[c]
+            ok = (np.isfinite(uvs).all(-1)
+                  & (uvs[:, 0] >= 0) & (uvs[:, 0] < self.cfg.image_width)
+                  & (uvs[:, 1] >= 0) & (uvs[:, 1] < self.cfg.image_height))
+            if not ok.any():
+                continue
+            iu = np.clip(uvs[ok, 0] / st, 0, m.shape[1] - 1).astype(int)
+            iv = np.clip(uvs[ok, 1] / st, 0, m.shape[0] - 1).astype(int)
+            best = max(best, float(m[iv, iu].max()))
         return best
 
     def _enter_cost(self, points: np.ndarray) -> float:
@@ -755,8 +810,9 @@ class Associator3D:
         pts, raws, rmask, merr, lens, starts = self._pack_windows(tracks)
         with self.timer.stage("rescore.dispatch"):
             out = self._score_windows(
-                jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
-                jnp.asarray(merr), jnp.asarray(lens), self.cams)
+                self._dev(pts, True), self._dev(raws, True),
+                self._dev(rmask, True), self._dev(merr, True),
+                self._dev(lens, True), self.cams)
         with self.timer.stage("rescore.device"):
             res = jax.device_get(out)
         self._apply_window_scores(tracks, res, lens, starts)
@@ -1076,6 +1132,35 @@ class Associator3D:
     # ------------------------------------------------------------------
     # 7f. hypothesis formation (ref :2589-2834)
     # ------------------------------------------------------------------
+    def _shared_matrix(self, pool: List[int], nb: int) -> np.ndarray:
+        """[nb, nb] bool: tracks i and j share a 2D tracklet id in any
+        camera, over their FULL id histories — the exact relation the
+        reference computes by scanning both tracks' complete per-camera
+        deques (ref CheckIncompatibility, Associator3D.cpp:2422-2466; its
+        first/back range tests there are monotone-id skip optimisations,
+        not semantics).  One sparse incidence product replaces the O(N^2 *
+        |hist|^2) pairwise scan."""
+        from scipy import sparse
+
+        reg = self.registry
+        codes: Dict[Tuple[int, int], int] = {}
+        rows: List[int] = []
+        cols: List[int] = []
+        for i, t in enumerate(pool):
+            tr = reg.tracks[t]
+            for c in range(self.num_cams):
+                for tid2 in tr.tid_hist[c]:
+                    code = codes.setdefault((c, tid2), len(codes))
+                    rows.append(i)
+                    cols.append(code)
+        shared = np.zeros((nb, nb), bool)
+        if codes:
+            m = sparse.csr_matrix(
+                (np.ones(len(rows), np.int8), (rows, cols)),
+                shape=(len(pool), len(codes)))
+            shared[:len(pool), :len(pool)] = (m @ m.T).toarray() > 0
+        return shared
+
     def _finish_rescore(self, updated: List[Track],
                         candidates: List[Track], seeds: List[int]):
         """Post-device bookkeeping: the frame's active set is the surviving
@@ -1158,12 +1243,11 @@ class Associator3D:
         # time grid [frame_idx - W + 1 .. frame_idx] so the device program
         # needs no per-pair index alignment
         self.timer.push("hyp.prep")
-        kcap = 16
         # graph bucket floored at 64 (n <= vmax always): one compile per
         # coarse bucket, and exactly one for typical scenes
         nb = min(_bucket(n, lo=64), vmax)
         tree_ids = np.full((nb,), -1, np.int32)
-        tids = np.full((nb, self.num_cams, kcap), -1, np.int32)
+        shared = self._shared_matrix(pool, nb)
         w = self.win
         pos_grid = np.zeros((nb, w, 3), np.float32)
         have = np.zeros((nb, w), bool)
@@ -1172,9 +1256,6 @@ class Associator3D:
         for i, t in enumerate(pool):
             tr = reg.tracks[t]
             tree_ids[i] = tr.tree_id
-            for c in range(self.num_cams):
-                h = tr.tid_hist[c][-kcap:]
-                tids[i, c, :len(h)] = h
             te = tr.time_start + tr.length - 1
             ts = max(tr.time_start, t0_grid)
             if te >= ts:
@@ -1186,8 +1267,6 @@ class Associator3D:
             pvalid[i] = True
         # pad rows get unique fake tree ids so they never count as same-tree
         tree_ids[n:] = -(np.arange(nb - n) + 2)
-        valid = np.zeros((vmax,), bool)
-        valid[:n] = True
 
         # per-vertex cost split: the window part comes from the device's
         # fused re-scoring (row_map points into the rescore batch); the
@@ -1213,51 +1292,42 @@ class Associator3D:
             else:
                 host_base[i] = tr.total_cost()
 
-        # solve all K hypotheses in ONE device call: vmapped replica-parallel
-        # BLS over the stacked per-hypothesis vertex masks / warm starts
-        # (replaces the reference's OpenMP loop over K serial solves,
-        # ref Associator3D.cpp:2676-2684)
+        # solve the frame's hypothesis graph in ONE device call: every
+        # carried hypothesis warm-starts a replica of a single replica-
+        # parallel BLS over the union pool (the merged local optima give
+        # the K-best list — same dedup/sort semantics as the reference's
+        # per-hypothesis OpenMP solves + merge, ref Associator3D.cpp:
+        # 2676-2708 + 2797-2828, at 1/K the device cost).  Warm-slot count
+        # = k_best_size (static), so this compiles once.
         all_solutions: List[Tuple[frozenset, float]] = []
-        # fixed iteration budget and hypothesis-batch size so the solver
-        # compiles exactly once (the reference's per-frame edge-scaled
-        # budget, GraphSolver.cpp:548-553, would retrigger compilation)
         iters = self.cfg.solver.max_iterations
-        kb = self.cfg.solver.solve_batch
-        hyp_inputs = hyp_inputs[:kb]
-        init_k = np.zeros((kb, vmax), bool)
-        valid_k = np.zeros((kb, vmax), bool)
-        for hi, h in enumerate(hyp_inputs):
-            for t in h.related:
-                if t in pool_idx:
-                    valid_k[hi, pool_idx[t]] = True
+        init_masks = np.zeros((self.acfg.k_best_size, vmax), bool)
+        for hi, h in enumerate(hyp_inputs[:self.acfg.k_best_size]):
             for t in h.selected:
                 if t in pool_idx:
-                    init_k[hi, pool_idx[t]] = True
-        valid_k &= valid[None, :]
+                    init_masks[hi, pool_idx[t]] = True
         self.solver_key, k = jax.random.split(self.solver_key)
-        keys = jax.random.split(k, kb)
         self.timer.pop()
         with self.timer.stage("hyp.dispatch"):
             out = self._rescore_and_solve(
-                jnp.asarray(pts), jnp.asarray(raws), jnp.asarray(rmask),
-                jnp.asarray(merr), jnp.asarray(lens), self.cams,
-                jnp.asarray(row_map), jnp.asarray(host_base),
-                jnp.asarray(tree_ids), jnp.asarray(tids),
-                jnp.asarray(pos_grid), jnp.asarray(have),
-                jnp.asarray(pvalid), jnp.asarray(valid_k),
-                jnp.asarray(init_k), keys, iters)
+                self._dev(pts, True), self._dev(raws, True),
+                self._dev(rmask, True), self._dev(merr, True),
+                self._dev(lens, True), self.cams,
+                self._dev(row_map), self._dev(host_base),
+                self._dev(tree_ids, True), self._dev(shared, True),
+                self._dev(pos_grid, True), self._dev(have, True),
+                self._dev(pvalid, True), self._dev(init_masks),
+                self._dev(k), iters)
         with self.timer.stage("hyp.solve"):
             ws, res = jax.device_get(out)
         self._apply_window_scores(rescore, ws, lens, starts)
         self._finish_rescore(updated, candidates, seeds)
         with self.timer.stage("hyp.collect"):
-            for hi in range(len(hyp_inputs)):
-                sub = jax.tree.map(lambda x: x[hi], res)
-                masks, scores = collect_k_best(sub, self.acfg.k_best_size)
-                for m, s in zip(masks, scores):
-                    sel = frozenset(pool[i] for i in np.where(m[:n])[0])
-                    if sel:
-                        all_solutions.append((sel, s))
+            masks, scores = collect_k_best(res, self.acfg.k_best_size)
+            for m, s in zip(masks, scores):
+                sel = frozenset(pool[i] for i in np.where(m[:n])[0])
+                if sel:
+                    all_solutions.append((sel, s))
 
         # dedup (ref :2812-2828); same track set => same likelihood, so a
         # dict keyed by the set is exact

@@ -89,12 +89,20 @@ def solve_mwcp(weights: jnp.ndarray,
       weights:   [V] vertex weights (track log-likelihoods).
       adj:       [V, V] bool symmetric compatibility, diag False.
       valid:     [V] bool vertex mask.
-      init_mask: [V] bool warm-start solution (all False = cold start);
-                 replica 0 starts here when it is a valid clique
-                 (ref BLS_SetInitialSolutions, GraphSolver.cpp:820-956).
+      init_mask: warm starts (ref BLS_SetInitialSolutions,
+                 GraphSolver.cpp:820-956).  Either [V] bool — replica 0
+                 starts here when it is a valid clique — or [R', V] bool
+                 with R' <= R: replica i starts from row i when that row
+                 is a valid nonempty clique (one row per carried
+                 hypothesis; the engine solves ONE instance per frame with
+                 all K hypotheses as warm-started replicas instead of K
+                 separate instances — the union pool and the merged
+                 local-optima K-best make the two equivalent, without the
+                 K-fold device cost of the reference's per-hypothesis
+                 OpenMP solves, ref Associator3D.cpp:2676-2684).
       key:       PRNG key.
 
-    vmap over a leading axis for K hypotheses.
+    vmap over a leading axis for a batch of instances.
     """
     v = weights.shape[0]
     r = cfg.num_replicas
@@ -104,25 +112,33 @@ def solve_mwcp(weights: jnp.ndarray,
     l0 = jnp.maximum(cfg.l0_ratio * jnp.sum(valid), 1.0)
     lmax = jnp.maximum(cfg.lmax_ratio * jnp.sum(valid), 2.0)
 
+    # normalise warm starts to one [R, V] stack (False rows = cold start)
+    if init_mask.ndim == 1:
+        init_mask = init_mask[None, :]
+    warm = jnp.zeros((r, v), bool)
+    rw = min(init_mask.shape[0], r)
+    warm = warm.at[:rw].set(init_mask[:rw])
+
     # ---- initial solutions per replica -------------------------------------
     order = jnp.argsort(-jnp.where(valid, weights, NEG))
     greedy = _greedy_initial(weights, adj, valid, order)
 
-    def replica_init(i, k):
-        # replica 0: warm start if init_mask is a valid clique; others:
-        # greedy from randomly perturbed weight order
-        cnt = jnp.sum(adj & init_mask[None, :], axis=-1)
-        is_clique = jnp.all(~init_mask | (cnt == jnp.sum(init_mask) - 1)) \
-            & jnp.any(init_mask)
-        noise = jax.random.uniform(k, (v,)) * jnp.where(i == 1, 0.0, 1.0) \
+    def replica_init(i, k, wm):
+        # replica i: its warm start if that is a valid nonempty clique
+        # (invalidated rows fall back like the reference's validity check,
+        # GraphSolver.cpp:830-868); else greedy from a randomly perturbed
+        # weight order (one replica keeps the unperturbed greedy order)
+        cnt = jnp.sum(adj & wm[None, :], axis=-1)
+        is_clique = jnp.all(~wm | (cnt == jnp.sum(wm) - 1)) \
+            & jnp.any(wm) & jnp.all(~wm | valid)
+        noise = jax.random.uniform(k, (v,)) * jnp.where(i == 0, 0.0, 1.0) \
             * jnp.maximum(jnp.max(jnp.abs(weights)), 1.0) * 0.3
         ordr = jnp.argsort(-jnp.where(valid, weights + noise, NEG))
         g = _greedy_initial(weights, adj, valid, ordr)
-        return jnp.where((i == 0) & is_clique, init_mask,
-                         jnp.where(i == 1, greedy, g))
+        return jnp.where(is_clique, wm, jnp.where(i == 0, greedy, g))
 
     keys = jax.random.split(key, r + 1)
-    in_c0 = jax.vmap(replica_init)(jnp.arange(r), keys[:r])     # [R, V]
+    in_c0 = jax.vmap(replica_init)(jnp.arange(r), keys[:r], warm)  # [R, V]
 
     score0 = jnp.sum(jnp.where(in_c0, weights[None, :], 0.0), -1)
 

@@ -85,11 +85,12 @@ def main():
     # --- compat matrix ---
     for nb_ in (64, 256):
         tree_ids = jnp.arange(nb_, dtype=jnp.int32)
-        tids = jnp.full((nb_, 4, 16), -1, jnp.int32)
+        shared = jnp.zeros((nb_, nb_), bool)
         wp = jnp.zeros((nb_, w, 3), jnp.float32)
         hv = jnp.ones((nb_, w), bool)
         vd = jnp.ones((nb_,), bool)
-        bench(f"compat[{nb_}]", a._compat_matrix, tree_ids, tids, wp, hv, vd)
+        bench(f"compat[{nb_}]", a._compat_matrix, tree_ids, shared, wp, hv,
+              vd)
 
     # --- solver ---
     kb, v = cfg.solver.solve_batch, cfg.solver.max_vertices

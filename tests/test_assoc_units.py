@@ -103,6 +103,101 @@ class TestAssociator:
         assert lls == sorted(lls, reverse=True)
 
 
+class TestCompatibility:
+    """Full-history tracklet-share relation + device compat gates
+    (ref CheckIncompatibility, Associator3D.cpp:2411-2503)."""
+
+    def _track_with_hist(self, assoc, tid, tree_id, hists):
+        from mcmtt_opticalflow_tpu.models.trees import Track
+        c = assoc.num_cams
+        tr = Track(id=tid, tree_id=tree_id, parent=None, num_cams=c,
+                   combination=tuple([-1] * c), time_start=0, time_end=0,
+                   time_generation=0, tid_hist=[list(h) for h in hists],
+                   points=np.zeros((1, 3)), smoothed=np.zeros((1, 3)),
+                   velocity=np.zeros((1, 3)),
+                   raw_points=np.zeros((1, c, 3)),
+                   raw_mask=np.zeros((1, c), bool),
+                   max_error=np.zeros(1), is_meas=np.ones(1, bool),
+                   cost_recon_pos=np.zeros(1), cost_link_pos=np.zeros(1),
+                   last_t_end=np.zeros(c, np.int64),
+                   last_t_loc=np.zeros((c, 3)), last_sens=np.zeros(c),
+                   last_rgb=np.zeros((c, 48)))
+        assoc.registry.tracks[tid] = tr
+        return tr
+
+    def test_shared_id_beyond_16_slot_window_detected(self):
+        """A tracklet id shared only at the START of a >16-entry history
+        must still mark the pair incompatible (the old device matrix
+        truncated each history to its last 16 ids and missed this)."""
+        sc = make_scenario(num_cameras=2, num_frames=2, num_people=1,
+                           image_size=(128, 96), arena=2000.0, seed=0)
+        assoc = Associator3D(small_cfg(2, 128, 96), sc.cameras)
+        # track A: ids 0..19 in cam 0; track B: shares ONLY id 0, then
+        # 100..118 — the shared id is 20 entries deep in A's history
+        self._track_with_hist(assoc, 1, 10, [list(range(20)), []])
+        self._track_with_hist(assoc, 2, 11, [[0] + list(range(100, 119)), []])
+        self._track_with_hist(assoc, 3, 12, [list(range(200, 220)), []])
+        shared = assoc._shared_matrix([1, 2, 3], 4)
+        assert shared[0, 1] and shared[1, 0]
+        assert not shared[0, 2] and not shared[1, 2]
+        # diagonal is irrelevant downstream (masked by ~eye) but must not
+        # leak padding
+        assert not shared[3].any() and not shared[:, 3].any()
+
+    def test_device_compat_gates(self):
+        sc = make_scenario(num_cameras=2, num_frames=2, num_people=1,
+                           image_size=(128, 96), arena=2000.0, seed=0)
+        assoc = Associator3D(small_cfg(2, 128, 96), sc.cameras)
+        w = assoc.win
+        n = 4
+        tree_ids = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        shared = np.zeros((n, n), bool)
+        shared[0, 1] = shared[1, 0] = True
+        pos = np.zeros((n, w, 3), np.float32)
+        # tracks 0/1/2 far apart and parallel (compatible geometry);
+        # track 3 crosses track 2's path at slow speed
+        pos[0, :, 0] = 0.0
+        pos[1, :, 0] = 10000.0
+        pos[2, :, 0] = 20000.0
+        pos[2, :, 1] = np.arange(w) * 10.0
+        pos[3, :, 0] = np.linspace(19900.0, 20100.0, w)
+        pos[3, :, 1] = np.arange(w) * 10.0 + 5.0
+        have = np.ones((n, w), bool)
+        valid = np.ones((n,), bool)
+        compat = np.asarray(assoc._compat_matrix(
+            tree_ids, jnp.asarray(shared), jnp.asarray(pos),
+            jnp.asarray(have), jnp.asarray(valid)))
+        assert not compat[0, 1], "shared-history pair must be incompatible"
+        assert compat[0, 2], "distant parallel tracks are compatible"
+        assert not compat[2, 3], "crossing nearby tracks are incompatible"
+
+    def test_crossing_ignored_when_far_apart(self):
+        """The reference skips the crossing test when tracks are more than
+        2*MAX_MOVING_SPEED apart at that instant (ref :2489)."""
+        sc = make_scenario(num_cameras=2, num_frames=2, num_people=1,
+                           image_size=(128, 96), arena=2000.0, seed=0)
+        assoc = Associator3D(small_cfg(2, 128, 96), sc.cameras)
+        w = assoc.win
+        n = 2
+        tree_ids = jnp.asarray([0, 1], jnp.int32)
+        shared = np.zeros((n, n), bool)
+        pos = np.zeros((n, w, 3), np.float32)
+        # two long jumps whose segments geometrically intersect but whose
+        # endpoints are >1800mm apart at every instant
+        pos[0, 0] = [-5000.0, -5000.0, 0.0]
+        pos[0, 1] = [5000.0, 5000.0, 0.0]
+        pos[1, 0] = [-5000.0, 5000.0, 0.0]
+        pos[1, 1] = [5000.0, -5000.0, 0.0]
+        have = np.zeros((n, w), bool)
+        have[:, :2] = True
+        valid = np.ones((n,), bool)
+        compat = np.asarray(assoc._compat_matrix(
+            tree_ids, jnp.asarray(shared), jnp.asarray(pos),
+            jnp.asarray(have), jnp.asarray(valid)))
+        assert compat[0, 1], \
+            "far-apart crossing must be skipped like the reference"
+
+
 class TestDumps:
     def test_dump_files(self, assoc_and_scenario, tmp_path):
         from mcmtt_opticalflow_tpu.utils.dumps import (

@@ -102,6 +102,39 @@ class TestMwcp:
         res = run_solver(weights, adj, valid, init=init, iters=50)
         assert float(np.max(np.asarray(res.best_score))) >= exact - 1e-3
 
+    def test_per_replica_warm_starts(self, rng):
+        """[R', V] warm starts: each valid row seeds its own replica (the
+        engine's one-solve-per-frame hypothesis formation), and the K-best
+        list can exceed any former batch cap."""
+        import dataclasses
+        weights, adj, valid = random_instance(rng, 16, 0.6)
+        cfg = dataclasses.replace(CFG, num_replicas=24,
+                                  solutions_per_replica=8)
+        # build several distinct valid cliques as warm starts
+        warm = np.zeros((6, 16), bool)
+        rowi = 0
+        for a in range(16):
+            for b in range(a + 1, 16):
+                if adj[a, b] and rowi < 6:
+                    warm[rowi, a] = warm[rowi, b] = True
+                    rowi += 1
+        assert rowi == 6
+        res = solve_mwcp(jnp.asarray(weights), jnp.asarray(adj),
+                         jnp.asarray(valid), jnp.asarray(warm),
+                         jax.random.PRNGKey(3), cfg, 200)
+        masks = np.asarray(res.best_mask)
+        scores = np.asarray(res.best_score)
+        assert all(is_clique(masks[i], adj) for i in range(24))
+        # every warm start's weight is a lower bound for its replica
+        for i in range(6):
+            w0 = weights[warm[i]].sum()
+            assert scores[i] >= w0 - 1e-3
+        # collection yields more distinct solutions than the old per-call
+        # hypothesis cap of 8
+        masks_k, scores_k = collect_k_best(res, 16)
+        assert len(masks_k) > 8
+        assert all(is_clique(m, adj) for m in masks_k)
+
     def test_empty_graph(self):
         weights = np.zeros(8, np.float32)
         adj = np.zeros((8, 8), bool)

@@ -41,17 +41,33 @@ def run_sequence(engine: TrackingEngine, frames_fn, detections_fn,
         gx, gy = gt
         accs = [ClearMotAccumulator(gx, gy, crop_zone, crop_margin)
                 for _ in range(deferred_windows)]
-    for t in range(num_frames):
-        engine.process_frame(frames_fn(t), detections_fn(t), frame_idx=t)
-        if accs is None:
-            continue
+
+    def harvest(t_done: int) -> None:
         for w in range(deferred_windows):
-            td = t - w
+            td = t_done - w
             if td < 0:
                 continue
             r = engine.deferred_result(td)
             accs[w].set_result(
                 td, [(i, p[0], p[1]) for i, p in zip(r.ids, r.points)])
+
+    # a pipelined engine's association trails its input by one or more
+    # frames: harvest at the associator's completed frame, not the input
+    # frame, and drain the pipeline tail with flush()
+    last_done = -1
+
+    def catch_up() -> None:
+        nonlocal last_done
+        while accs is not None and last_done < engine.assoc.frame_idx:
+            last_done += 1
+            harvest(last_done)
+
+    for t in range(num_frames):
+        engine.process_frame(frames_fn(t), detections_fn(t), frame_idx=t)
+        catch_up()
+    if hasattr(engine, "flush"):
+        while engine.flush() is not None:
+            catch_up()
     if accs is None:
         return {}
     return {w: accs[w].evaluate() for w in range(deferred_windows)}

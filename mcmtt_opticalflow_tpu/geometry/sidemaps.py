@@ -63,6 +63,57 @@ def distance_from_boundary_map(cam: TsaiCamera, width: int, height: int,
     return (pix_dist * sens).astype(np.float32)
 
 
+def read_sidemap_txt(path: str) -> np.ndarray:
+    """Load a reference-format side-map text matrix: a `row:R,col:C` header
+    followed by comma-separated floats, one row per line (the format both
+    ReadProjectionSensitivity and ReadDistanceFromBoundary consume,
+    ref psn_where/PSNWhere.cpp:489-573 / PSNWhere_Associator3D.cpp:622-706).
+    Loaded maps are full-resolution (stride 1)."""
+    with open(path) as f:
+        header = f.readline().strip()
+        parts = header.replace("row:", "").replace("col:", "").split(",")
+        rows, cols = int(parts[0]), int(parts[1])
+        body = f.read().replace(",", " ").split()
+        vals = np.asarray(body, dtype=np.float64)
+    vals = vals[:rows * cols]
+    if vals.size != rows * cols:
+        raise ValueError(
+            f"{path}: expected {rows}x{cols}={rows * cols} values, "
+            f"got {vals.size}")
+    return vals.reshape(rows, cols).astype(np.float32)
+
+
+def write_sidemap_txt(path: str, map2d: np.ndarray) -> None:
+    """Write a matrix in the reference's side-map text format (exact
+    inverse of read_sidemap_txt; used for fixtures and map export)."""
+    m = np.asarray(map2d, np.float32)
+    with open(path, "w") as f:
+        f.write(f"row:{m.shape[0]},col:{m.shape[1]}\n")
+        for r in m:
+            f.write(",".join(f"{x:f}" for x in r) + ",\n")
+
+
+def load_or_compute_sidemaps(cam: TsaiCamera, width: int, height: int,
+                             stride: int, dataset_path=None, cam_id=None):
+    """Per-camera (sensitivity_map, boundary_map, stride): load the
+    reference's precomputed matrices from
+    <dataset_path>/calibrationInfos/{ProjectionSensitivity,
+    DistanceFromBoundary}_View%03d.txt when both exist (drop-in parity on
+    reference datasets, ref PSNWhere.cpp:103-122), else compute from the
+    Tsai model.  Loaded maps are full resolution, so stride 1."""
+    import os
+
+    if dataset_path is not None and cam_id is not None:
+        base = os.path.join(dataset_path, "calibrationInfos")
+        sp = os.path.join(base, f"ProjectionSensitivity_View{cam_id:03d}.txt")
+        bp = os.path.join(base, f"DistanceFromBoundary_View{cam_id:03d}.txt")
+        if os.path.isfile(sp) and os.path.isfile(bp):
+            return read_sidemap_txt(sp), read_sidemap_txt(bp), 1
+    return (projection_sensitivity_map(cam, width, height, stride),
+            distance_from_boundary_map(cam, width, height, stride),
+            stride)
+
+
 def sample_map(map2d: jnp.ndarray, uv: jnp.ndarray, width: int, height: int,
                stride: int = 4) -> jnp.ndarray:
     """Nearest-neighbour sample of a strided side-map at pixel coords

@@ -59,9 +59,11 @@ def run_synthetic(args):
 def run_dataset(args):
     from mcmtt_opticalflow_tpu.config import (EngineConfig,
                                               parse_parameters_txt)
-    from mcmtt_opticalflow_tpu.data import (read_detection_file,
+    from mcmtt_opticalflow_tpu.data import (FrameSource, read_detection_file,
                                             read_ground_truth, read_tsai_xml)
-    from mcmtt_opticalflow_tpu.eval.experiment import run_sequence
+    from mcmtt_opticalflow_tpu.eval.experiment import k_sweep
+    from mcmtt_opticalflow_tpu.geometry.sidemaps import \
+        load_or_compute_sidemaps
     from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
 
     if not os.path.isfile(args.parameters):
@@ -77,32 +79,49 @@ def run_dataset(args):
     cam_ids = params.get("CAM_IDS", [1, 5, 7])
     if isinstance(cam_ids, int):
         cam_ids = [cam_ids]
+    # the reference's experiment-loop keys (ref main.cpp:103-106, 200-221)
+    ks = params.get("SIZE_OF_KS", [10])
+    if isinstance(ks, int):
+        ks = [ks]
+    num_experiments = int(params.get("NUM_EXPERIMENTS", 1))
+    n_confirm = int(params.get("NUM_FRAMES_FOR_CONFIRMATION", 3))
+    # crop zone: overridable (the reference bakes it in per dataset preset,
+    # ref Defines.h:82-86); default = PETS2009
+    zone = tuple(params.get("CROP_ZONE", (-14069.6, -14274.0,
+                                          4981.3, 1733.5)))
 
     cams = [read_tsai_xml(os.path.join(
         root, "calibrationInfos", f"View_{cid:03d}.xml")) for cid in cam_ids]
-    cfg = EngineConfig(num_cameras=len(cams), cam_ids=tuple(cam_ids),
-                       image_width=int(cams[0].width),
-                       image_height=int(cams[0].height),
-                       start_frame=start, end_frame=end)
-    eng = TrackingEngine(cfg, cams)
+    w, h = int(cams[0].width), int(cams[0].height)
+    # precomputed reference side-maps when present, else Tsai-derived
+    sidemaps = [load_or_compute_sidemaps(c, w, h, 4, dataset_path=root,
+                                         cam_id=cid)
+                for c, cid in zip(cams, cam_ids)]
+
+    def make_engine(k):
+        cfg = EngineConfig(num_cameras=len(cams), cam_ids=tuple(cam_ids),
+                           image_width=w, image_height=h,
+                           start_frame=start, end_frame=end)
+        cfg = dataclasses.replace(cfg, assoc3d=dataclasses.replace(
+            cfg.assoc3d, k_best_size=k,
+            num_frames_for_confirmation=n_confirm))
+        return TrackingEngine(cfg, cams, pipelined=True, sidemaps=sidemaps)
 
     def dets(t):
         return [read_detection_file(os.path.join(
             root, f"View_{cid:03d}", "detectionResult",
             f"frame_{t:04d}.txt"))[0] for cid in cam_ids]
 
-    def frames(t):
-        # image loading left to the deployment (JPEG decode); detections-only
-        # runs feed flat gray frames
-        return np.full((len(cams), cfg.image_height, cfg.image_width, 3),
-                       0.5, np.float32)
+    frames = FrameSource(root, cam_ids, w, h)
 
     gt_path = os.path.join(root, "groundTruth", "cropped.txt")
     gt = read_ground_truth(gt_path) if os.path.exists(gt_path) else None
-    zone = (-14069.6, -14274.0, 4981.3, 1733.5)
-    per_window = run_sequence(eng, frames, dets, end - start + 1, gt, zone)
-    for w, ev in sorted(per_window.items()):
-        print(f"window={w:2d}  {ev.summary()}")
+    results = k_sweep(make_engine, frames, dets, end - start + 1,
+                      gt, zone, ks=ks, num_experiments=num_experiments)
+    for r in results:
+        print(f"== K={r.k} repeat={r.repeat} fps={r.fps:.2f}")
+        for w_, ev in sorted(r.per_window.items()):
+            print(f"   window={w_:2d}  {ev.summary()}")
 
 
 def main():

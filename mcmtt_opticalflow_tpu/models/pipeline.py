@@ -28,13 +28,22 @@ from mcmtt_opticalflow_tpu.models.tracker2d import (init_tracker2d_state,
 
 class TrackingEngine:
     def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
-                 pipelined: bool = False):
+                 pipelined: bool = False, sidemaps=None, mesh=None):
         """pipelined=True overlaps the device 2D stage of frame t+1 with
         the host-side 3D association of frame t (the frame-pipeline axis of
         SURVEY.md §2's parallelism table; the reference is strictly
         sequential per frame).  Results then trail the input by one frame:
         process_frame(t) returns the frame t-1 result (None at t=0); call
-        flush() after the last frame for the final one."""
+        flush() after the last frame for the final one.
+
+        sidemaps: optional per-camera (sensitivity, boundary, stride)
+        triples (see Associator3D).
+
+        mesh: optional ('cam', 'block') jax.sharding.Mesh.  The camera
+        axis of the 2D stage shards over 'cam' (the TPU replacement for
+        the reference's per-camera OpenMP fan-out, ref PSNWhere.cpp:257);
+        the 3D stage's track/hypothesis batches shard over all devices
+        (see Associator3D)."""
         assert len(cameras) == cfg.num_cameras
         self.cfg = cfg
         self.cameras = list(cameras)
@@ -43,7 +52,21 @@ class TrackingEngine:
         self.state2d = init_tracker2d_state(
             cfg.tracker2d, cfg.image_height, cfg.image_width,
             num_cameras=cfg.num_cameras)
-        self.assoc = Associator3D(cfg, cameras)
+        self.mesh = mesh
+        self._s_cam = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert cfg.num_cameras % mesh.shape["cam"] == 0, \
+                (cfg.num_cameras, dict(mesh.shape))
+            self._s_cam = NamedSharding(mesh, P("cam"))
+            self.cams = jax.tree.map(
+                lambda x: jax.device_put(x, self._s_cam), self.cams)
+            self.state2d = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, self._s_cam if x.ndim > 0 else
+                    NamedSharding(mesh, P())), self.state2d)
+        self.assoc = Associator3D(cfg, cameras, sidemaps=sidemaps,
+                                  mesh=mesh)
         # Only GRAY frames cross the host-device boundary, as uint8 — 12x
         # less PCIe/tunnel traffic than f32 RGB.  The 2D LK stage is the
         # only consumer of pixels on device; appearance histograms ingest
@@ -56,6 +79,14 @@ class TrackingEngine:
         self.timing: List[float] = []
         self.pipelined = pipelined
         self._pending = None   # (frame_idx, out2d device arrays, host rgb u8)
+
+    def _put_cam(self, x):
+        """Upload a camera-leading host array (sharded over 'cam' when a
+        mesh is active)."""
+        a = jnp.asarray(x)
+        if self._s_cam is not None:
+            a = jax.device_put(a, self._s_cam)
+        return a
 
     def _pad_detections(self, detections):
         c = self.cfg.num_cameras
@@ -90,14 +121,14 @@ class TrackingEngine:
             gray_u8 = ((f[..., 0].astype(np.uint16) + f[..., 1] + f[..., 2])
                        // 3).astype(np.uint8)
         with self.assoc.timer.stage("upload"):
-            gray = self._dequant(jnp.asarray(gray_u8))
+            gray = self._dequant(self._put_cam(gray_u8))
 
         with self.assoc.timer.stage("tracker2d"):
             # dispatch is async: the device chews on this frame's 2D stage
             # while (in pipelined mode) the host associates the previous one
             self.state2d, out2d = self.step2d(
-                self.state2d, gray, jnp.asarray(boxes), jnp.asarray(mask),
-                self.cams, jnp.int32(self.frame_idx))
+                self.state2d, gray, self._put_cam(boxes),
+                self._put_cam(mask), self.cams, jnp.int32(self.frame_idx))
 
         if self.pipelined:
             prev, self._pending = self._pending, (self.frame_idx, out2d, f)

@@ -85,6 +85,27 @@ class TestAssignment:
             used = [c_ for c_ in col if c_ >= 0]
             assert len(used) == len(set(used))
 
+    @pytest.mark.parametrize("r,c", [(32, 48), (64, 64), (48, 32)])
+    def test_optimal_at_scale_with_forbidden(self, r, c, rng):
+        """Tracker-sized matrices with ~30% forbidden pairs: the
+        eps-scaled auction must land on the exact optimum (certifies the
+        n*eps_final bound really is below matching-cost resolution)."""
+        for trial in range(3):
+            cost = rng.rand(r, c).astype(np.float32) * 10
+            cost[rng.rand(r, c) < 0.3] = np.inf
+            col, mc = solve_assignment(jnp.asarray(cost),
+                                       jnp.ones(r, bool), jnp.ones(c, bool))
+            col = np.asarray(col)
+            rows_h, cols_h = hungarian_host(cost)
+            ours = sum(cost[i, col[i]] for i in range(r) if col[i] >= 0)
+            exact = cost[rows_h, cols_h].sum()
+            matched_ours = int((col >= 0).sum())
+            assert matched_ours == len(rows_h), (trial, matched_ours,
+                                                 len(rows_h))
+            assert abs(ours - exact) < 1e-2, (trial, ours, exact)
+            used = [c_ for c_ in col if c_ >= 0]
+            assert len(used) == len(set(used))
+
     def test_forbidden_entries(self):
         cost = np.full((2, 2), np.inf, np.float32)
         cost[0, 0] = 1.0

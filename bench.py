@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""End-to-end throughput benchmark.
+"""End-to-end throughput benchmark at PETS-like density.
 
 Runs the full pipeline (camera-batched LK 2D tracking -> 3D MHT association
--> K-best hypothesis solve) on a synthetic PETS-like 4-camera scenario at
-768x576 and reports frames/s.
+-> K-best hypothesis solve) on a synthetic 4-camera scenario at 768x576 with
+PETS S2.L1-like load: >=20 concurrent people, detector noise (10% FP, 5% FN,
+1 px jitter), K=30 carried hypotheses (ref parameters.txt:51 sweeps K up to
+30/50), 30 measured frames.
 
 The reference publishes no throughput numbers (BASELINE.md); its dataset
 runs at 7 fps (psn_where/PSNWhere_Associator3D.cpp:88), so vs_baseline here
-is real-time factor: fps / 7.0.  Prints ONE JSON line.
+is real-time factor: fps / 7.0.  Prints ONE JSON line; the per-stage timing
+breakdown goes to stderr.
 """
 
 import json
@@ -17,61 +20,90 @@ import time
 
 import numpy as np
 
+WARMUP = 5
+
 
 def main():
-    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    from mcmtt_opticalflow_tpu.config import (EngineConfig, Tracker2DConfig,
-                                              SolverConfig)
+    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    from mcmtt_opticalflow_tpu.config import (Associator3DConfig,
+                                              EngineConfig, SolverConfig,
+                                              Tracker2DConfig)
     from mcmtt_opticalflow_tpu.data import make_scenario
     from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
 
-    sc = make_scenario(num_cameras=4, num_frames=num_frames + 4,
-                       num_people=6, image_size=(768, 576), arena=6000.0,
-                       seed=0)
+    total = num_frames + WARMUP
+    sc = make_scenario(num_cameras=4, num_frames=total,
+                       num_people=22, image_size=(768, 576), arena=9000.0,
+                       noise_px=1.0, fp_rate=0.10, fn_rate=0.05, seed=0)
     cfg = EngineConfig(
         num_cameras=4, image_width=768, image_height=576,
         # 2 pyramid levels cover the PETS-scale per-frame motion (<16 px)
         # and keep the cold-compile budget bounded
-        tracker2d=Tracker2DConfig(lk_pyramid_levels=2, lk_iterations=8),
+        tracker2d=Tracker2DConfig(lk_pyramid_levels=2, lk_iterations=8,
+                                  max_detections=48, max_trackers=64),
+        assoc3d=Associator3DConfig(k_best_size=30),
+        # 150 BLS iterations: every carried hypothesis warm-starts a
+        # replica, so convergence needs far fewer moves than the
+        # reference's cold 2000-iteration budget; the recorded-graph
+        # quality harness (tests/test_solver_quality.py) certifies
+        # brute-force-ratio >= 0.99 at this setting
         solver=SolverConfig(num_replicas=8, max_vertices=256,
-                            max_iterations=300, solve_batch=8),
+                            max_iterations=150),
     )
     eng = TrackingEngine(cfg, sc.cameras, pipelined=True)
 
     # pre-render frames so rendering cost stays out of the measurement;
     # uint8, as dataset JPEGs decode to (the engine's native ingest format)
     frames = [(np.clip(np.stack(sc.frames(t)), 0, 1) * 255 + 0.5)
-              .astype(np.uint8) for t in range(num_frames + 4)]
+              .astype(np.uint8) for t in range(total)]
 
     # warmup (compilation; the engine's device programs compile on the
     # first few frames as batch-size buckets appear)
     verbose = os.environ.get("BENCH_VERBOSE")
-    for t in range(4):
+    for t in range(WARMUP):
         tw = time.perf_counter()
         eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
         if verbose:
             print(f"warmup frame {t}: {time.perf_counter() - tw:.1f}s",
                   file=sys.stderr, flush=True)
+    eng.assoc.timer.reset()   # steady-state stage times only
 
     t0 = time.perf_counter()
     per_frame = []
-    for t in range(4, num_frames + 4):
+    tracks_peak = 0
+    for t in range(WARMUP, total):
         f0 = time.perf_counter()
         eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
         per_frame.append(time.perf_counter() - f0)
+        tracks_peak = max(tracks_peak, len(eng.assoc.registry.tracks))
     elapsed = time.perf_counter() - t0
 
     # median per-frame time is robust to residual bucket compiles mid-run
     fps = 1.0 / float(np.median(per_frame))
+
+    timer = eng.assoc.timer
+    stage_ms = {
+        name: round(1e3 * sorted(timer.samples[name])
+                    [timer.counts[name] // 2], 2)
+        for name in sorted(timer.totals, key=lambda n: -timer.totals[n])
+        if not name.startswith("_")
+    }
+    print(timer.summary(), file=sys.stderr)
+    dominant = next(iter(stage_ms), "?")
+    print(f"dominant stage: {dominant} ({stage_ms.get(dominant)} ms median); "
+          f"{len(per_frame)} frames in {elapsed:.1f}s, "
+          f"tracks_peak={tracks_peak}", file=sys.stderr)
     if verbose:
-        print(eng.assoc.timer.summary(), file=sys.stderr)
         print(f"per-frame: {[round(x, 2) for x in per_frame]}",
               file=sys.stderr)
     print(json.dumps({
-        "metric": "end_to_end_frames_per_sec_4cam_768x576",
+        "metric": "end_to_end_frames_per_sec_4cam_768x576_22ppl_k30",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 7.0, 3),
+        "frames": len(per_frame),
+        "tracks_peak": tracks_peak,
+        "stage_ms": stage_ms,
     }))
 
 

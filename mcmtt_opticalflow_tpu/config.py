@@ -117,6 +117,14 @@ class Associator3DConfig:
     sg_span: int = 9
     sg_degree: int = 1
 
+    # branch-candidate budget per frame, spent in (-gt_prob, cost) order.
+    # New this engine: the solver pool is capped at SolverConfig.
+    # max_vertices anyway, so generating more candidates than can ever
+    # enter a hypothesis burns host time cloning tracks that the next
+    # prune deletes (the reference enumerates unboundedly and relies on
+    # pruning, ref Associator3D.cpp:1832-2242 + 2959-2994)
+    max_branches_per_frame: int = 256
+
     # device batch capacities (TPU static shapes)
     max_tracklets_per_cam: int = 64
     max_new_measurements_per_cam: int = 32

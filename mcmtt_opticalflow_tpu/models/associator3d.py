@@ -34,7 +34,8 @@ from mcmtt_opticalflow_tpu.geometry.triangulation import segments_intersect
 from mcmtt_opticalflow_tpu.geometry.sidemaps import (
     projection_sensitivity_map, distance_from_boundary_map)
 from mcmtt_opticalflow_tpu.models.costs import score_track_windows
-from mcmtt_opticalflow_tpu.models.mwcp import solve_mwcp, collect_k_best
+from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp, device_k_best,
+                                               NEG as _SOLVER_NEG)
 from mcmtt_opticalflow_tpu.models.trees import (
     Track, TrackRegistry, Tracklet)
 from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
@@ -51,12 +52,6 @@ def _bucket(n: int, lo: int = 8) -> int:
     while b < n:
         b *= 2
     return b
-
-
-def _link_prob_np(p1, p2, time_gap: float, max_speed: float) -> float:
-    """Host scalar of models.costs.link_probability (numpy, no dispatch)."""
-    d = float(np.linalg.norm(np.asarray(p1) - np.asarray(p2)))
-    return 0.5 * float(_erfc(4.0 * d / (max_speed * max(time_gap, 1.0)) - 2.0))
 
 
 def _link_prob_batch(p1s: np.ndarray, p2s: np.ndarray, gaps: np.ndarray,
@@ -157,6 +152,11 @@ class Associator3D:
         self.frame_idx = -1
         self.num_frames_proc = 0
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
+        # when set to a list, every frame's hypothesis graph (weights,
+        # adjacency, validity, warm starts) is appended to it — the
+        # recorded-graph corpus for the solver quality harness
+        # (tests/test_solver_quality.py)
+        self.graph_dump: Optional[List[dict]] = None
         from mcmtt_opticalflow_tpu.utils.timing import StageTimer
         self.timer = StageTimer()
 
@@ -265,7 +265,11 @@ class Associator3D:
             valid = vert_ok & jnp.zeros((vmax,), bool).at[:nb].set(pvalid)
             res = solve_mwcp(weights, adj, valid, init_masks, key,
                              solver_cfg, iters)
-            return ws, res
+            # K-best compaction ON DEVICE: ship K masks to the host, not
+            # the whole [R, S, V] local-optima ring (~20x less tunnel
+            # traffic per frame)
+            kb_masks, kb_scores = device_k_best(res, acfg.k_best_size)
+            return ws, kb_masks, kb_scores
 
         self._rescore_and_solve = rescore_and_solve
 
@@ -294,25 +298,40 @@ class Associator3D:
         iv = int(np.clip(uv[1] / st, 0, m.shape[0] - 1))
         return float(m[iv, iu])
 
-    def _distance_from_boundary(self, points: np.ndarray) -> float:
-        """max over cameras of the boundary-distance map at the projected
-        pixel (ref GetDistanceFromBoundary, Associator3D.cpp:1076-1087);
-        -100 when invisible everywhere.  Pure host math — no dispatch."""
-        best = -100.0
-        pts = np.atleast_2d(points)
+    def _distance_from_boundary_batch(self, points: np.ndarray,
+                                      mask: np.ndarray) -> np.ndarray:
+        """Batched boundary distance: points [N, P, 3] with validity mask
+        [N, P] -> [N] = max over cameras and valid points of the
+        boundary-distance map at the projected pixel (ref
+        GetDistanceFromBoundary, Associator3D.cpp:1076-1087); -100 where
+        invisible everywhere.  One vectorised pass per camera over the
+        whole track batch — this sits on the per-frame host path (every
+        pausing track's exit cost), so no per-track Python loops."""
+        n, p = points.shape[:2]
+        best = np.full((n,), -100.0)
+        if n == 0 or not mask.any():
+            return best
+        flat = points.reshape(n * p, 3)
+        fmask = mask.reshape(n * p)
         for c, hc in enumerate(self.host_cams):
-            uvs = np.atleast_2d(hc.world_to_image(pts))
+            uvs = hc.world_to_image(flat)
             m = self.bound_maps[c]
             st = self.map_strides[c]
-            ok = (np.isfinite(uvs).all(-1)
+            ok = (fmask & np.isfinite(uvs).all(-1)
                   & (uvs[:, 0] >= 0) & (uvs[:, 0] < self.cfg.image_width)
                   & (uvs[:, 1] >= 0) & (uvs[:, 1] < self.cfg.image_height))
-            if not ok.any():
-                continue
-            iu = np.clip(uvs[ok, 0] / st, 0, m.shape[1] - 1).astype(int)
-            iv = np.clip(uvs[ok, 1] / st, 0, m.shape[0] - 1).astype(int)
-            best = max(best, float(m[iv, iu].max()))
+            iu = np.clip(np.where(ok, uvs[:, 0], 0.0) / st, 0,
+                         m.shape[1] - 1).astype(int)
+            iv = np.clip(np.where(ok, uvs[:, 1], 0.0) / st, 0,
+                         m.shape[0] - 1).astype(int)
+            d = np.where(ok, m[iv, iu], -100.0).reshape(n, p)
+            best = np.maximum(best, d.max(axis=1))
         return best
+
+    def _distance_from_boundary(self, points: np.ndarray) -> float:
+        pts = np.atleast_2d(points)
+        return float(self._distance_from_boundary_batch(
+            pts[None], np.ones((1, len(pts)), bool))[0])
 
     def _enter_cost(self, points: np.ndarray) -> float:
         """(ref ComputeEnterProbability :2267-2277, host numpy)"""
@@ -341,8 +360,49 @@ class Associator3D:
                           * max(0.0, length - a.num_frames_for_confirmation)))
         return float(min(a.cost_exit_max, -np.log(max(p, 1e-300))))
 
+    def _enter_cost_batch(self, points: np.ndarray,
+                          mask: np.ndarray) -> np.ndarray:
+        """Vectorised _enter_cost over a seed batch: points [N, P, 3],
+        mask [N, P] -> costs [N] (ref ComputeEnterProbability
+        :2267-2277)."""
+        a = self.acfg
+        n = len(points)
+        if self.num_frames_proc <= a.enter_penalty_free_length:
+            return np.zeros((n,))
+        d = self._distance_from_boundary_batch(points, mask)
+        p = np.where((d < 0) | (d <= a.boundary_distance), 1.0,
+                     a.p_en_max * np.exp(-a.p_en_decay
+                                         * np.maximum(d - a.boundary_distance,
+                                                      0.0)))
+        return np.minimum(a.cost_enter_max, -np.log(np.maximum(p, 1e-300)))
+
+    def _exit_cost_batch(self, points: np.ndarray, mask: np.ndarray,
+                         lengths: np.ndarray) -> np.ndarray:
+        """Vectorised _exit_cost over a track batch: points [N, P, 3],
+        mask [N, P], lengths [N] -> costs [N] (ref ComputeExitProbability
+        :2288-2303)."""
+        a = self.acfg
+        d = self._distance_from_boundary_batch(points, mask)
+        decayed = (a.p_ex_max
+                   * np.exp(-a.p_ex_decay_dist
+                            * np.maximum(d - a.boundary_distance, 0.0))
+                   * np.exp(-a.p_ex_decay_length
+                            * np.maximum(0.0, np.asarray(lengths, float)
+                                         - a.num_frames_for_confirmation)))
+        p = np.where(d < 0, 1.0,
+                     np.where(d < a.boundary_distance, a.p_ex_max, decayed))
+        return np.minimum(a.cost_exit_max, -np.log(np.maximum(p, 1e-300)))
+
+    def _visible_anywhere_batch(self, points: np.ndarray) -> np.ndarray:
+        """[N, 3] -> [N] bool: visible in at least one camera."""
+        vis = np.zeros((len(points),), bool)
+        for hc in self.host_cams:
+            vis |= hc.visible(points)
+        return vis
+
     def _visible_anywhere(self, point: np.ndarray) -> bool:
-        return any(bool(hc.visible(point)) for hc in self.host_cams)
+        return bool(self._visible_anywhere_batch(
+            np.asarray(point)[None])[0])
 
     # ------------------------------------------------------------------
     # reconstruction (host assembly; heavy math stays on device in the
@@ -644,6 +704,7 @@ class Associator3D:
         pending: List[Tuple[Track, tuple]] = []
 
         live: List[Track] = []
+        pausing: List[Track] = []
         for tid in self.active_tracks:
             tr = reg.tracks.get(tid)
             if tr is None or not tr.valid:
@@ -666,13 +727,23 @@ class Associator3D:
 
             if all(t2 < 0 for t2 in combo):
                 # pause: exit cost from the last per-camera locations
+                # (batched over all pausing tracks below)
                 tr.active = False
-                pts = tr.last_t_loc[tr.raw_mask[tr.n_measured - 1]] \
-                    if tr.n_measured > 0 else tr.last_t_loc
-                tr.cost_exit = self._exit_cost(pts, tr.duration)
+                pausing.append(tr)
                 self.paused_tracks.append(tid)
                 continue
             live.append(tr)
+
+        if pausing:
+            pb = np.stack([tr.last_t_loc for tr in pausing])
+            pm = np.stack([tr.raw_mask[tr.n_measured - 1]
+                           if tr.n_measured > 0
+                           else np.ones((self.num_cams,), bool)
+                           for tr in pausing])
+            costs = self._exit_cost_batch(
+                pb, pm, np.asarray([tr.duration for tr in pausing]))
+            for tr, cx in zip(pausing, costs):
+                tr.cost_exit = float(cx)
 
         recs = self._reconstruct_batch([tr.combination for tr in live])
         ok_idx = [i for i, r in enumerate(recs) if r is not None]
@@ -705,8 +776,10 @@ class Associator3D:
         self._pending_rescore = [tr for tr, _ in pending]
         self.active_tracks = [tr.id for tr, _ in pending]
 
-        # paused tracks: dummy extrapolation (ref :1529-1584)
-        new_paused = []
+        # paused tracks: dummy extrapolation (ref :1529-1584); visibility
+        # of all extrapolated points checked in one batched host pass
+        extrapolating: List[Track] = []
+        lasts: List[np.ndarray] = []
         for tid in self.paused_tracks:
             tr = reg.tracks.get(tid)
             if tr is None or not tr.valid:
@@ -715,16 +788,21 @@ class Associator3D:
                 if tr.total_cost() >= 0.0:
                     tr.valid = False
                 continue
-            last = tr.smoothed[-1] + tr.velocity[-1]
+            extrapolating.append(tr)
+            lasts.append(tr.smoothed[-1] + tr.velocity[-1])
+        visible = (self._visible_anywhere_batch(np.stack(lasts))
+                   if lasts else np.zeros((0,), bool))
+        new_paused = []
+        for tr, last, vis in zip(extrapolating, lasts, visible):
             self._append_position(
                 tr, last, np.zeros((self.num_cams, 3)),
                 np.zeros((self.num_cams,), bool), 0.0, 0.0, 0.0,
                 is_meas=False, velocity=tr.velocity[-1])
-            if not self._visible_anywhere(last):
+            if not vis:
                 tr.num_outpoint += 1
             if tr.num_outpoint > self.acfg.max_outpoint:
                 continue
-            new_paused.append(tid)
+            new_paused.append(tr.id)
         self.paused_tracks = new_paused
 
         # window management (ref :1589-1604)
@@ -814,7 +892,8 @@ class Associator3D:
                 self._dev(rmask, True), self._dev(merr, True),
                 self._dev(lens, True), self.cams)
         with self.timer.stage("rescore.device"):
-            res = jax.device_get(out)
+            from mcmtt_opticalflow_tpu.parallel.mesh import fetch
+            res = fetch(out)
         self._apply_window_scores(tracks, res, lens, starts)
 
     def _apply_window_scores(self, tracks: List[Track], res, lens, starts):
@@ -893,13 +972,23 @@ class Associator3D:
         self._generate_combinations(maps, [-1] * self.num_cams, 0, combos)
         combos = [c for c in combos if any(t >= 0 for t in c)]
         seeds = []
+        new_tracks = []
         for combo, rec in zip(combos, self._reconstruct_batch(combos)):
             if rec is None:
                 continue
             point, raws, rmask, max_err, cost_rec = rec
             tr = self._new_track_from_seed(frame_idx, combo, point, raws,
                                            rmask, max_err, cost_rec)
+            new_tracks.append(tr)
             seeds.append(tr.id)
+        if new_tracks:
+            # one batched boundary-map pass for every seed's enter cost
+            pb = np.stack([tr.last_t_loc for tr in new_tracks])
+            pm = np.stack([np.asarray([t >= 0 for t in tr.combination])
+                           for tr in new_tracks])
+            for tr, ce in zip(new_tracks,
+                              self._enter_cost_batch(pb, pm)):
+                tr.cost_enter = float(ce)
         return seeds
 
     def _new_track_from_seed(self, frame_idx, combo, point, raws, rmask,
@@ -934,7 +1023,7 @@ class Associator3D:
             tr.last_sens[ci] = tk.sensitivity
             tr.last_rgb[ci] = tk.rgb_tail
             pts.append(tk.loc3d)
-        tr.cost_enter = self._enter_cost(np.stack(pts))
+        # cost_enter assigned by the caller's batched pass
         reg.add_track(tr)
         self.active_tracks.append(tr.id)
         self.tracks_in_window.append(tr.id)
@@ -949,11 +1038,16 @@ class Associator3D:
         spatial_pairs: List[Tuple[Track, Tuple[int, ...]]] = []
 
         # ---- spatial branching -------------------------------------------
+        self.timer.push("branch.enum")
+        cost_of = {t: reg.tracks[t].total_cost()
+                   for t in set(self.active_tracks) | set(self.paused_tracks)
+                   if t in reg.tracks}
         order = sorted(
             [t for t in self.active_tracks if t not in seeds],
-            key=lambda t: (-reg.tracks[t].gt_prob,
-                           reg.tracks[t].total_cost()))
+            key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
         for tid in order:
+            if len(spatial_pairs) >= 4 * self.acfg.max_branches_per_frame:
+                break   # recon/link gates won't pass 3/4 of these anyway
             tr = reg.tracks[tid]
             combo = tr.combination
             maps = [np.ones(len(self.new_measurements[c]), bool)
@@ -973,8 +1067,10 @@ class Associator3D:
                 if br != combo:
                     spatial_pairs.append((tr, br))
 
+        self.timer.pop()
         # batch-reconstruct all spatial branch combinations, then batch the
         # link probabilities for the survivors
+        self.timer.push("branch.spawn")
         recs = self._reconstruct_batch([br for _, br in spatial_pairs])
         ok_idx = [i for i, r in enumerate(recs) if r is not None]
         if ok_idx:
@@ -985,7 +1081,10 @@ class Associator3D:
             p_links = _link_prob_batch(
                 prev_pts, np.stack([recs[i][0] for i in ok_idx]),
                 np.ones(len(ok_idx)), self.acfg.max_moving_speed)
+            budget = self.acfg.max_branches_per_frame
             for j, i in enumerate(ok_idx):
+                if len(candidates) >= budget:
+                    break
                 if p_links[j] < self.acfg.min_linking_probability:
                     continue
                 parent, br = spatial_pairs[i]
@@ -994,20 +1093,40 @@ class Associator3D:
                 if cand is not None:
                     candidates.append(cand)
 
+        self.timer.pop()
         # ---- temporal branching ------------------------------------------
+        self.timer.push("branch.temporal")
         order_p = sorted(self.paused_tracks,
-                         key=lambda t: (-reg.tracks[t].gt_prob,
-                                        reg.tracks[t].total_cost()))
-        for tid in order_p:
-            tr = reg.tracks[tid]
-            for sid in seeds:
-                seed = reg.tracks.get(sid)
-                if seed is None:
-                    continue
-                cand = self._make_temporal_branch(frame_idx, tr, seed)
-                if cand is not None:
-                    candidates.append(cand)
+                         key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
+        seed_trs = [reg.tracks[sid] for sid in seeds if sid in reg.tracks]
+        if order_p and seed_trs:
+            # one vectorised erfc over ALL (paused, seed) pairs instead of
+            # a scipy scalar per pair (the pair count is paused x seeds)
+            paused_trs = [reg.tracks[t] for t in order_p]
+            last_pts = np.stack([t.points[t.n_measured - 1]
+                                 for t in paused_trs])
+            seed_pts = np.stack([s.points[0] for s in seed_trs])
+            gaps = (np.asarray([s.time_start for s in seed_trs])[None, :]
+                    - np.asarray([t.time_end for t in paused_trs])[:, None])
+            p_pair = _link_prob_batch(last_pts[:, None], seed_pts[None, :],
+                                      gaps, self.acfg.max_moving_speed)
+            feasible = ((gaps >= 1) & (gaps <= self.acfg.max_time_jump)
+                        & (p_pair >= self.acfg.min_linking_probability))
+            budget = self.acfg.max_branches_per_frame
+            for pi, tr in enumerate(paused_trs):
+                if len(candidates) >= budget:
+                    break
+                for si, seed in enumerate(seed_trs):
+                    if len(candidates) >= budget:
+                        break
+                    if not feasible[pi, si]:
+                        continue
+                    cand = self._make_temporal_branch(
+                        frame_idx, tr, seed, int(gaps[pi, si]))
+                    if cand is not None:
+                        candidates.append(cand)
 
+        self.timer.pop()
         # The batched smoothing/scoring of this frame's updated tracks
         # (deferred from _update_tracks) + every branch candidate is fused
         # into the hypothesis solve (ONE device dispatch per frame).
@@ -1044,16 +1163,11 @@ class Associator3D:
         return tr
 
     def _make_temporal_branch(self, frame_idx, paused: Track,
-                              seed: Track) -> Optional[Track]:
-        gap = seed.time_start - paused.time_end
-        if gap < 1 or gap > self.acfg.max_time_jump:
-            return None
+                              seed: Track, gap: int) -> Optional[Track]:
+        """Caller (_branch_tracks) has already gate-checked the gap range
+        and the batched link probability for this (paused, seed) pair."""
         last_meas = paused.points[paused.n_measured - 1]
         seed_pt = seed.points[0]
-        p_link = _link_prob_np(last_meas, seed_pt, float(gap),
-                               self.acfg.max_moving_speed)
-        if p_link < self.acfg.min_linking_probability:
-            return None
         reg = self.registry
         tr = self._clone_track(paused, reg.alloc_track_id(), frame_idx,
                                length=paused.n_measured)
@@ -1185,6 +1299,19 @@ class Associator3D:
         rescore = updated + candidates
         pending = {tr.id for tr in rescore}
 
+        self.timer.push("hyp.inputs")
+        # frame-scoped score cache + ONE global ordering: the carried
+        # hypotheses' related sets heavily overlap (they share the
+        # unconfirmed-track tail), so sorting each with a total_cost()
+        # key re-ran O(K * related * track_length) numpy sums per frame
+        # (cProfile: ~500k total_cost calls / 10 frames); sort once by
+        # (-gt_prob, cost), then order each set by the cached rank
+        cost_of = {tid: tr.total_cost() for tid, tr in reg.tracks.items()}
+        order_all = sorted(reg.tracks,
+                           key=lambda t: (-reg.tracks[t].gt_prob,
+                                          cost_of[t]))
+        rank = {tid: i for i, tid in enumerate(order_all)}
+
         # update related sets (ref Hypothesis_UpdateHypotheses :2589-2652)
         hyp_inputs: List[Hypothesis] = []
         for h in self.prev_hypotheses[:self.acfg.k_best_size]:
@@ -1197,13 +1324,10 @@ class Associator3D:
                     cht = reg.tracks.get(ch)
                     if cht is not None and cht.new_track:
                         related.append(ch)
-            related = sorted(set(related),
-                             key=lambda t: (-reg.tracks[t].gt_prob,
-                                            reg.tracks[t].total_cost())
-                             if t in reg.tracks else (0, 0))
-            related = [t for t in related if t in reg.tracks][:
+            related = sorted({t for t in related if t in rank},
+                             key=rank.__getitem__)[:
                 self.acfg.max_track_in_optimization]
-            related += [s for s in seeds if s in reg.tracks]
+            related += [s for s in seeds if s in rank]
             hyp_inputs.append(Hypothesis(
                 selected=list(h.selected), related=related,
                 log_likelihood=h.log_likelihood))
@@ -1225,9 +1349,10 @@ class Associator3D:
                     # tracks awaiting this frame's window re-scoring stay
                     # in; the device applies the loglik > 0 vertex filter
                     # to them after re-costing
-                    if t in pending or tr.total_cost() < 0.0:
+                    if t in pending or cost_of[t] < 0.0:
                         seen.add(t)
                         pool.append(t)
+        self.timer.pop()
         if not pool:
             self._rescore_tails(rescore)
             self._finish_rescore(updated, candidates, seeds)
@@ -1290,7 +1415,7 @@ class Associator3D:
                     hb += float(tr.cost_link_pos[:s + 1].sum())
                 host_base[i] = hb
             else:
-                host_base[i] = tr.total_cost()
+                host_base[i] = cost_of[t]
 
         # solve the frame's hypothesis graph in ONE device call: every
         # carried hypothesis warm-starts a replica of a single replica-
@@ -1319,11 +1444,36 @@ class Associator3D:
                 self._dev(pvalid, True), self._dev(init_masks),
                 self._dev(k), iters)
         with self.timer.stage("hyp.solve"):
-            ws, res = jax.device_get(out)
-        self._apply_window_scores(rescore, ws, lens, starts)
-        self._finish_rescore(updated, candidates, seeds)
+            from mcmtt_opticalflow_tpu.parallel.mesh import fetch
+            ws, kb_masks, kb_scores = fetch(out)
+        with self.timer.stage("hyp.apply"):
+            self._apply_window_scores(rescore, ws, lens, starts)
+            self._finish_rescore(updated, candidates, seeds)
+        if self.graph_dump is not None:
+            # reconstruct the exact instance the device solved (weights
+            # from the fetched window scores + host cost prefixes, the
+            # adjacency from the standalone compat program)
+            vmax = self.cfg.solver.max_vertices
+            rm = np.clip(row_map, 0, None)
+            has_row = row_map >= 0
+            wcost = np.where(has_row, np.asarray(ws.window_cost)[rm], 0.0)
+            wvalid = np.where(has_row, np.asarray(ws.valid)[rm], True)
+            g_weights = -(host_base + wcost)
+            vert_ok = wvalid & (g_weights > 0.0)
+            compat = np.asarray(jax.device_get(self._compat_matrix(
+                self._dev(tree_ids), self._dev(shared),
+                self._dev(pos_grid), self._dev(have),
+                self._dev(pvalid & vert_ok[:nb]))))
+            g_adj = np.zeros((vmax, vmax), bool)
+            g_adj[:nb, :nb] = compat
+            g_valid = vert_ok & np.concatenate(
+                [pvalid, np.zeros(vmax - nb, bool)])
+            self.graph_dump.append(dict(
+                frame=frame_idx, n=n, weights=g_weights.astype(np.float32),
+                adj=g_adj, valid=g_valid, init_masks=init_masks.copy()))
         with self.timer.stage("hyp.collect"):
-            masks, scores = collect_k_best(res, self.acfg.k_best_size)
+            keep = kb_scores > _SOLVER_NEG / 2
+            masks, scores = kb_masks[keep], kb_scores[keep]
             for m, s in zip(masks, scores):
                 sel = frozenset(pool[i] for i in np.where(m[:n])[0])
                 if sel:
@@ -1381,11 +1531,12 @@ class Associator3D:
                 if ch != seed_id:
                     reg.set_branch_validity(ch, False)
 
-        # GTP pruning (ref Hypothesis_PruningTrackWithGTP :2959-2994)
+        # GTP pruning (ref Hypothesis_PruningTrackWithGTP :2959-2994);
+        # one cost pass per frame, shared by both pruning sorts
+        cost_of = {tid: tr.total_cost() for tid, tr in reg.tracks.items()}
         ranked = sorted(
             [t for t in self.tracks_in_window if t in reg.tracks],
-            key=lambda t: (-reg.tracks[t].gt_prob,
-                           reg.tracks[t].total_cost()))
+            key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
         kept = 0
         for tid in ranked:
             tr = reg.tracks[tid]
@@ -1404,8 +1555,7 @@ class Associator3D:
             if tree.confirmed or not tree.valid:
                 continue
             ts = sorted([t for t in tree.track_ids if t in reg.tracks],
-                        key=lambda t: (-reg.tracks[t].gt_prob,
-                                       reg.tracks[t].total_cost()))
+                        key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
             for tid in ts[acfg.max_track_in_unconfirmed_tree:]:
                 reg.tracks[tid].valid = False
 

@@ -324,6 +324,44 @@ solve_mwcp_batch = jax.vmap(solve_mwcp,
                             in_axes=(0, 0, 0, 0, 0, None, None))
 
 
+def device_k_best(result: MwcpResult, k: int):
+    """Device-side top-k distinct local optima: [K, V] masks + [K] scores
+    (empty slots score NEG).  Same semantics as collect_k_best — merge all
+    replicas' ring buffers, dedup identical cliques, sort by score — but
+    traceable, so the fused per-frame program ships K masks to the host
+    instead of the full [R, S, V] ring (~20x less tunnel traffic).
+
+    Dedup key: identical cliques have identical (score, hash1, hash2);
+    two multiplicative int32 hashes over the membership mask make a
+    same-score collision between DIFFERENT cliques vanishingly rare."""
+    v = result.sol_masks.shape[-1]
+    flat_m = result.sol_masks.reshape(-1, v)
+    flat_s = result.sol_scores.reshape(-1)
+    iota = jnp.arange(v, dtype=jnp.int32)
+    salt1 = (iota + 1) * jnp.int32(-1640531527)      # Knuth multiplicative
+    salt2 = (iota + 1) * (iota + 7) * jnp.int32(40503)
+    m32 = flat_m.astype(jnp.int32)
+    h1 = (m32 * salt1[None, :]).sum(-1)
+    h2 = (m32 * salt2[None, :]).sum(-1)
+    order = jnp.lexsort((h2, h1, -flat_s))
+    ss, hh1, hh2 = flat_s[order], h1[order], h2[order]
+    dup = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (ss[1:] == ss[:-1]) & (hh1[1:] == hh1[:-1]) & (hh2[1:] == hh2[:-1])])
+    empty = ss <= NEG / 2
+    uniq = ~dup & ~empty
+    rank = jnp.cumsum(uniq) - 1                       # rank of each unique
+    n = flat_s.shape[0]
+    slot = jnp.where(uniq, rank, k)                   # clamp non-unique away
+    src = jnp.full((k,), n, jnp.int32).at[slot].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")  # first row per rank
+    got = src < n
+    src_safe = jnp.clip(src, 0, n - 1)
+    masks = jnp.where(got[:, None], flat_m[order][src_safe], False)
+    scores = jnp.where(got, ss[src_safe], NEG)
+    return masks, scores
+
+
 def collect_k_best(result: MwcpResult, k: int):
     """Host-side: merge all replicas' local optima, dedup by (score, mask),
     sort by score descending, return top-k (mask, score) pairs — the

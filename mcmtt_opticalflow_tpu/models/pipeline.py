@@ -68,9 +68,10 @@ class TrackingEngine:
         self.assoc = Associator3D(cfg, cameras, sidemaps=sidemaps,
                                   mesh=mesh)
         # Only GRAY frames cross the host-device boundary, as uint8 — 12x
-        # less PCIe/tunnel traffic than f32 RGB.  The 2D LK stage is the
-        # only consumer of pixels on device; appearance histograms ingest
-        # on host.  8-bit gray matches the reference, whose cvtColor
+        # less tunnel traffic than f32 RGB.  Computing gray on device was
+        # tried and reverted: the axon tunnel is bandwidth-poor, so the
+        # 3x-bigger RGB upload cost ~50 ms/frame against ~9 ms of host
+        # gray math.  8-bit gray matches the reference, whose cvtColor
         # produces CV_8U gray from 8-bit JPEGs (ref Tracker2D.cpp:256-262).
         self._dequant = jax.jit(
             lambda u8: u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0))
@@ -131,6 +132,15 @@ class TrackingEngine:
                 self._put_cam(mask), self.cams, jnp.int32(self.frame_idx))
 
         if self.pipelined:
+            # start the device->host copy of this frame's 2D outputs NOW:
+            # by the time next frame's _associate fetches them, the bytes
+            # are already on the host (the fetch otherwise pays a full
+            # tunnel round trip, ~50 ms on axon)
+            for a in (out2d.ids, out2d.boxes, out2d.mask):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    break
             prev, self._pending = self._pending, (self.frame_idx, out2d, f)
             if prev is None:
                 return None
@@ -145,7 +155,8 @@ class TrackingEngine:
 
     def _associate(self, frame_idx, out2d, rgb_dev) -> Track3DResult:
         with self.assoc.timer.stage("get2d"):
-            ids_np, boxes_np, mask_np = jax.device_get(
+            from mcmtt_opticalflow_tpu.parallel.mesh import fetch
+            ids_np, boxes_np, mask_np = fetch(
                 (out2d.ids, out2d.boxes, out2d.mask))
         return self.assoc.step(frame_idx, ids_np, boxes_np, mask_np, rgb_dev)
 

@@ -177,21 +177,29 @@ class TrackRegistry:
         return tid
 
     def gc(self) -> None:
-        """Delete invalid tracks whose tree is invalid; drop empty trees
-        (ref Associator3D.cpp:1694-1714 + 1609-1641)."""
-        dead_trees = [tid for tid, tr in self.trees.items() if not tr.valid]
-        for tree_id in dead_trees:
-            for tid in self.trees[tree_id].track_ids:
-                t = self.tracks.get(tid)
-                if t is not None and not t.valid:
-                    # unlink from parent
-                    if t.parent is not None and t.parent in self.tracks:
-                        p = self.tracks[t.parent]
-                        if tid in p.children:
-                            p.children.remove(tid)
-                    del self.tracks[tid]
-            self.trees[tree_id].track_ids = [
-                tid for tid in self.trees[tree_id].track_ids
-                if tid in self.tracks]
-            if not self.trees[tree_id].track_ids:
+        """Delete every invalid track except ancestors of valid tracks
+        (the N-scan-back walk climbs parent chains, so a valid track's
+        lineage must survive); drop empty trees.  The reference frees
+        invalid tracks every frame (ref Associator3D.cpp:1694-1714 +
+        1609-1641) — only collecting them when their whole tree died
+        leaks thousands of Track objects per PETS-scale run and every
+        per-frame registry sweep slows with it."""
+        keep = set()
+        for tid, t in self.tracks.items():
+            if not t.valid:
+                continue
+            cur = tid
+            while cur is not None and cur not in keep:
+                keep.add(cur)
+                tr = self.tracks.get(cur)
+                cur = tr.parent if tr is not None else None
+        if len(keep) != len(self.tracks):
+            self.tracks = {tid: self.tracks[tid] for tid in sorted(keep)}
+            for t in self.tracks.values():
+                t.children = [ch for ch in t.children if ch in self.tracks]
+        for tree_id in list(self.trees):
+            tree = self.trees[tree_id]
+            tree.track_ids = [tid for tid in tree.track_ids
+                              if tid in self.tracks]
+            if not tree.track_ids:
                 del self.trees[tree_id]

@@ -93,6 +93,23 @@ class TestMwcp:
             assert key not in seen
             seen.add(key)
 
+    def test_device_k_best_matches_host_collect(self, rng):
+        """device_k_best (traceable top-k, shipped by the fused per-frame
+        program) returns the same distinct solutions in the same order as
+        the host-side collect_k_best."""
+        from mcmtt_opticalflow_tpu.models.mwcp import device_k_best, NEG
+        weights, adj, valid = random_instance(rng, 16, 0.5)
+        res = run_solver(weights, adj, valid)
+        h_masks, h_scores = collect_k_best(res, 8)
+        d_masks, d_scores = jax.jit(
+            lambda r: device_k_best(r, 8))(res)
+        d_masks, d_scores = np.asarray(d_masks), np.asarray(d_scores)
+        got = d_scores > NEG / 2
+        assert int(got.sum()) == len(h_masks)
+        for i in range(len(h_masks)):
+            np.testing.assert_allclose(d_scores[i], h_scores[i], rtol=1e-5)
+            assert (d_masks[i] == h_masks[i]).all(), i
+
     def test_warm_start_valid_clique(self, rng):
         weights, adj, valid = random_instance(rng, 10, 0.7)
         exact_set, exact = brute_force_mwc(weights, adj, valid)

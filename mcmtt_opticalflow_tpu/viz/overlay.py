@@ -31,6 +31,44 @@ def draw_box(img: np.ndarray, box, color, thickness: int = 1) -> None:
     img[y0:y1, max(x1 - t, 0):x1] = color
 
 
+def draw_line(img: np.ndarray, p0, p1, color) -> None:
+    """In-place line segment on [H, W, 3] (integer DDA, numpy only)."""
+    h, w, _ = img.shape
+    x0, y0, x1, y1 = float(p0[0]), float(p0[1]), float(p1[0]), float(p1[1])
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1.0))
+    ts = np.linspace(0.0, 1.0, n + 1)
+    xs = np.clip((x0 + (x1 - x0) * ts).astype(int), 0, w - 1)
+    ys = np.clip((y0 + (y1 - y0) * ts).astype(int), 0, h - 1)
+    inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[inb], xs[inb]] = color
+
+
+def draw_flow_vectors(img: np.ndarray, feats: np.ndarray,
+                      feat_valid: np.ndarray, flow: np.ndarray,
+                      color=(1.0, 1.0, 0.0)) -> np.ndarray:
+    """Copy of img with a KLT motion vector per valid feature point (the
+    reference draws prev->curr optical-flow lines over each camera view,
+    ref PSNWhere.cpp:301-477 + Tracker2D display, Tracker2D.cpp:318-368).
+
+    feats [N, 2] current feature positions, feat_valid [N], flow [N, 2]
+    (or [2], broadcast) displacement since the previous frame: vectors run
+    from feat - flow to feat, with a 2x2 head mark at the current point.
+    """
+    out = np.asarray(img).copy()
+    feats = np.asarray(feats, float).reshape(-1, 2)
+    flow = np.broadcast_to(np.asarray(flow, float), feats.shape)
+    col = np.asarray(color, out.dtype)
+    h, w, _ = out.shape
+    for p, f, ok in zip(feats, flow, np.asarray(feat_valid).reshape(-1)):
+        if not ok:
+            continue
+        draw_line(out, p - f, p, col)
+        y, x = int(p[1]), int(p[0])
+        if 0 <= y < h and 0 <= x < w:
+            out[max(y - 1, 0):y + 1, max(x - 1, 0):x + 1] = col
+    return out
+
+
 def draw_overlay(frame: np.ndarray, boxes, ids,
                  colors: Optional[np.ndarray] = None) -> np.ndarray:
     """Copy of frame with id-coloured boxes."""

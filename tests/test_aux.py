@@ -123,6 +123,48 @@ class TestVizAndUtils:
         save_ppm(p, img)
         assert os.path.getsize(p) > 64 * 64 * 3
 
+    def test_flow_vectors(self):
+        from mcmtt_opticalflow_tpu.viz.overlay import draw_flow_vectors
+        img = np.zeros((32, 48, 3), np.float32)
+        feats = np.asarray([[20.0, 10.0], [30.0, 20.0], [5.0, 5.0]])
+        valid = np.asarray([True, True, False])
+        out = draw_flow_vectors(img, feats, valid, np.asarray([6.0, 3.0]))
+        assert out.sum() > 0 and img.sum() == 0
+        # the invalid feature leaves its neighbourhood untouched
+        assert out[3:8, 0:8].sum() == 0
+        # vector pixels lie between prev (14, 7) and current (20, 10)
+        assert out[8, 16].sum() > 0
+
+    def test_avi_writer_clip(self, tmp_path):
+        """Render a short overlay clip from a synthetic run and record it
+        (ref MJPG AVI recording, PSNWhere.cpp:206-231 + 301-477)."""
+        from mcmtt_opticalflow_tpu.data import make_scenario
+        from mcmtt_opticalflow_tpu.viz.video import (AviWriter,
+                                                     read_avi_frame_count)
+        sc = make_scenario(num_cameras=2, num_frames=5, num_people=2,
+                           image_size=(64, 48), seed=0)
+        path = str(tmp_path / "clip.avi")
+        with AviWriter(path, fps=7.0) as wr:
+            for t in range(5):
+                views = [draw_overlay(f, sc.detections[t][c],
+                                      range(len(sc.detections[t][c])))
+                         for c, f in enumerate(sc.frames(t))]
+                wr.add(tile_frames(views))
+        assert read_avi_frame_count(path) == 5
+        data = open(path, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert b"movi" in data and b"idx1" in data
+
+    def test_avi_writer_raw_mode(self, tmp_path):
+        from mcmtt_opticalflow_tpu.viz.video import (AviWriter,
+                                                     read_avi_frame_count)
+        path = str(tmp_path / "raw.avi")
+        with AviWriter(path, fps=10.0, force_raw=True) as wr:
+            for _ in range(3):
+                wr.add(np.random.rand(24, 30, 3).astype(np.float32))
+        assert read_avi_frame_count(path) == 3
+        assert b"DIB " in open(path, "rb").read()[:120]
+
     def test_colors_distinct(self):
         c = generate_colors(16)
         assert c.shape == (16, 3)

@@ -60,3 +60,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_leaves(tree, sharding: NamedSharding):
     """device_put every leaf with the given sharding."""
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def fetch(tree):
+    """device_get that also works under multi-process meshes: leaves whose
+    shards live partly on other hosts (non-fully-addressable) are pulled
+    with a cross-process all-gather instead.  Single-process arrays take
+    the plain device_get fast path."""
+    leaves = jax.tree.leaves(tree)
+    if all(getattr(x, "is_fully_addressable", True) for x in leaves):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(jax.device_get(x))
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree.map(one, tree)

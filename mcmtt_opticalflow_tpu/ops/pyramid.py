@@ -11,10 +11,14 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# 5-tap binomial kernel (OpenCV pyrDown's separable Gaussian)
-_K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
-_K3 = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
+# 5-tap binomial kernel (OpenCV pyrDown's separable Gaussian).
+# numpy, NOT jnp: a module-level device array would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize()
+# (multi-host launch imports this package before joining the cluster).
+_K5 = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+_K3 = np.asarray([1.0, 2.0, 1.0], np.float32) / 4.0
 
 
 def _sep_conv(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:

@@ -79,7 +79,8 @@ def lk_track_points(prev_img: jnp.ndarray,
     ok_g = det > 1e-7
     inv_det = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det, 1.0), 0.0)
 
-    def body(_, cur):
+    def body(_, carry):
+        cur, go = carry
         nw = cur[:, None, :] + offs[None, :, :]
         n_patch = _bilinear(next_img, nw)
         di = n_patch - t_patch                          # [N, K]
@@ -88,9 +89,15 @@ def lk_track_points(prev_img: jnp.ndarray,
         dx = -(gyy * bx - gxy * by) * inv_det
         dy = -(-gxy * bx + gxx * by) * inv_det
         step = jnp.stack([dx, dy], -1)
-        return cur + jnp.where(ok_g[:, None], step, 0.0)
+        cur = cur + jnp.where((ok_g & go)[:, None], step, 0.0)
+        # per-feature convergence mask, mirroring the Pallas kernel's
+        # early-exit and the reference's TermCriteria epsilon
+        # (ref Tracker2D.cpp:145): apply the sub-eps step, then stop
+        go = go & ((jnp.abs(dx) + jnp.abs(dy)) > eps)
+        return cur, go
 
-    tracked = jax.lax.fori_loop(0, iterations, body, guess)
+    tracked, _ = jax.lax.fori_loop(
+        0, iterations, body, (guess, jnp.ones(points.shape[:1], bool)))
 
     h, w = next_img.shape
     half = (window - 1) / 2.0

@@ -93,6 +93,19 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
         lo = 1.0
         hi_y = float(ph - w - 2)
         hi_x = float(pw - w - 2)
+        # working-subpatch geometry: the Newton iterations roll a
+        # [SUBH, SUBW] slice instead of the whole [ph, pw] DMA patch —
+        # the per-iteration data volume drops ~5x (the DMA patch is
+        # oversized only because HBM slice corners must be tile-aligned).
+        # SUBM_* place the initial guess window inside the subpatch with
+        # drift margins of ~±6 rows / ±54 lanes, ample for one pyramid
+        # level's refinement.
+        subh = min(32, ph)
+        subw = min(128, pw)
+        subm_y = (subh - w) // 2
+        subm_x = (subw - w) // 2
+        hi_ys = float(subh - w - 2)
+        hi_xs = float(subw - w - 2)
 
         def rolled(patch_val, iy, ix):
             """Shift the patch so window-origin (iy-1, ix-1) lands at (0, 0);
@@ -101,6 +114,11 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
             are wrapped positive — hardware rolls are unsigned."""
             r = pltpu.roll(patch_val, (1 - iy) % ph, 0)
             return pltpu.roll(r, (1 - ix) % pw, 1)
+
+        def rolled_sub(patch_val, iy, ix):
+            """rolled() for the [subh, subw] working subpatch."""
+            r = pltpu.roll(patch_val, (1 - iy) % subh, 0)
+            return pltpu.roll(r, (1 - ix) % subw, 1)
 
         def blend_at(r, oy, ox, fy_, fx_):
             """Bilinear sample of the rolled patch at static offset
@@ -161,36 +179,68 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
                 inv_det = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det, 1.0),
                                     0.0)
 
+                # Working subpatch around the initial guess: ONE pair of
+                # full-patch rolls per feature, then every Newton
+                # iteration rolls [subh, subw] (~5x less data).  The
+                # drift clamps translate the full patch's valid range
+                # into subpatch coordinates — the roll is circular, so
+                # rows/cols past the original patch edge hold wrapped
+                # garbage that the clamps must exclude.
+                gy_cl = jnp.clip(gy0, lo, hi_y)
+                gx_cl = jnp.clip(gx0, lo, hi_x)
+                igy = jnp.floor(gy_cl).astype(jnp.int32)
+                igx = jnp.floor(gx_cl).astype(jnp.int32)
+                base_y = (igy - subm_y).astype(jnp.float32)
+                base_x = (igx - subm_x).astype(jnp.float32)
+                # rolled() maps origin (iy-1, ix-1) -> (0, 0); passing
+                # iy = base + 1 puts patch row base_y at subpatch row 0
+                sub = rolled(nx_patch, igy - subm_y + 1,
+                             igx - subm_x + 1)[:subh, :subw]
+                lo_ys = jnp.maximum(lo, lo - base_y)
+                hi_ys_d = jnp.minimum(hi_ys, hi_y - base_y)
+                lo_xs = jnp.maximum(lo, lo - base_x)
+                hi_xs_d = jnp.minimum(hi_xs, hi_x - base_x)
+
                 def warp(dy, dx):
-                    dy_c = jnp.clip(dy, lo, hi_y)
-                    dx_c = jnp.clip(dx, lo, hi_x)
+                    dy_c = jnp.clip(dy, lo_ys, hi_ys_d)
+                    dx_c = jnp.clip(dx, lo_xs, hi_xs_d)
                     iy = jnp.floor(dy_c).astype(jnp.int32)
                     ix = jnp.floor(dx_c).astype(jnp.int32)
                     fy2 = dy_c - iy.astype(jnp.float32)
                     fx2 = dx_c - ix.astype(jnp.float32)
-                    rn = rolled(nx_patch, iy, ix)
+                    rn = rolled_sub(sub, iy, ix)
                     return blend_at(rn, 0, 0, fy2, fx2), dy_c, dx_c
 
-                def body(_, carry):
-                    dy, dx = carry
+                def cond(carry):
+                    _, _, it, go = carry
+                    return (it < iters) & go
+
+                def body(carry):
+                    dy, dx, it, _ = carry
                     warped, dy_c, dx_c = warp(dy, dx)
                     diff = warped - t
                     bx = jnp.sum(diff * gx_p)
                     by = jnp.sum(diff * gy_p)
                     ux = -(gyy * bx - gxy * by) * inv_det
                     uy = -(-gxy * bx + gxx * by) * inv_det
-                    return (dy_c + uy, dx_c + ux)
+                    # early exit at the reference's TermCriteria epsilon
+                    # (ref Tracker2D.cpp:145: COUNT+EPS, eps 0.03):
+                    # typical features converge in 2-4 iterations
+                    go = (jnp.abs(ux) + jnp.abs(uy)) > 0.03
+                    return (dy_c + uy, dx_c + ux, it + 1, go)
 
-                dy, dx = jax.lax.fori_loop(0, iters, body, (gy0, gx0))
+                dy, dx, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (gy0 - base_y, gx0 - base_x, jnp.int32(0), True))
                 warped, dy_c, dx_c = warp(dy, dx)
                 resid = jnp.mean(jnp.abs(warped - t))
 
-                in_range = (dy >= lo) & (dy <= hi_y) \
-                    & (dx >= lo) & (dx <= hi_x)
+                in_range = (dy >= lo_ys) & (dy <= hi_ys_d) \
+                    & (dx >= lo_xs) & (dx <= hi_xs_d)
                 valid = ok_g & src_ok & in_range
 
-                out_ref[b, 0] = dx_c + half   # tracked x, rel to next patch
-                out_ref[b, 1] = dy_c + half
+                out_ref[b, 0] = dx_c + base_x + half   # x, rel next patch
+                out_ref[b, 1] = dy_c + base_y + half
                 out_ref[b, 2] = valid.astype(jnp.float32)
                 out_ref[b, 3] = resid
 

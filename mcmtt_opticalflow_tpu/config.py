@@ -66,8 +66,9 @@ class Associator3DConfig:
     num_frames_for_confirmation: int = 3    # Associator3D.cpp:25
 
     # reconstruction
-    min_tracklet_length: int = 1      # Associator3D.cpp:29
-    max_tracklet_length: int = 15     # Associator3D.cpp:30
+    min_tracklet_length: int = 1      # Associator3D.cpp:29; a deactivated
+    #                                   tracklet shorter than this kills its
+    #                                   track's whole branch (ref :1399-1404)
     max_tracklet_distance: float = 2000.0  # MAX_TRACKLET_DISTANCE Associator3D.cpp:31
     max_body_width: float = 2000.0    # MAX_BODY_WIDHT Associator3D.cpp:41
     min_target_proximity: float = 200.0    # Associator3D.cpp:44
@@ -82,7 +83,11 @@ class Associator3DConfig:
     max_time_jump: int = 9            # MAX_TIME_JUMP Associator3D.cpp:52
     max_moving_speed: float = 900.0   # mm/frame, Associator3D.cpp:90
     min_moving_speed: float = 100.0   # Associator3D.cpp:91
-    dataset_frame_rate: float = 7.0   # Associator3D.cpp:88
+    # NOTE: the reference also #defines MAX_TRACKLET_LENGTH (:30),
+    # MIN_CONSTRUCT_PROBABILITY (:62), DATASET_FRAME_RATE (:88) and
+    # COST_TRACKLET_LINK_COEF (:59, consumed only by the never-called
+    # ComputeTrackletLinkCost :2330) — all dead constants there, so they
+    # are intentionally NOT config fields here.
 
     # appearance
     num_rgb_bins: int = 16            # NUM_BINS_RGB_HISTOGRAM Associator3D.cpp:95
@@ -92,14 +97,12 @@ class Associator3DConfig:
 
     # tracklet linking
     cost_tracklet_link_min_dist: float = 1500.0  # Associator3D.cpp:58
-    cost_tracklet_link_coef: float = 0.1         # Associator3D.cpp:59
     e_det: float = 4.0                # E_DET Associator3D.cpp:79
     e_cal: float = 500.0              # E_CAL Associator3D.cpp:80
 
     # detection likelihood
     fp_rate: float = 0.05             # FP_RATE Associator3D.cpp:63
     fn_rate: float = 0.1              # FN_RATE Associator3D.cpp:64
-    min_construct_probability: float = 0.01  # Associator3D.cpp:62
 
     # enter/exit
     enter_penalty_free_length: int = 2      # Associator3D.cpp:67
@@ -125,11 +128,6 @@ class Associator3DConfig:
     # pruning, ref Associator3D.cpp:1832-2242 + 2959-2994)
     max_branches_per_frame: int = 256
 
-    # device batch capacities (TPU static shapes)
-    max_tracklets_per_cam: int = 64
-    max_new_measurements_per_cam: int = 32
-    max_tracks_device: int = 512      # padded track-block capacity on device
-
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
@@ -148,6 +146,11 @@ class SolverConfig:
     alpha_r: float = 0.8              # GraphSolver.cpp:545
     alpha_s: float = 0.8              # GraphSolver.cpp:544
     solutions_per_replica: int = 16   # local-optima ring buffer per replica
+    unroll: int = 8                   # BLS moves per while-loop trip: the
+    #                                   per-move compute is tiny, so device
+    #                                   wall-clock is trip latency — unroll
+    #                                   trades (cached) compile time for an
+    #                                   ~unroll-fold shorter loop carry
     solve_batch: int = 16             # instances per vmapped solve_mwcp_batch
     #                                   call (microbench/ad-hoc batching; the
     #                                   engine's fused per-frame path instead

@@ -51,6 +51,31 @@ class EvaluationResult:
                 f"FN={self.missed} IDs={self.id_switches} "
                 f"FM={self.fragments}")
 
+    def report(self) -> str:
+        """The reference's result-file text, byte-layout compatible
+        (ref PrintResultToFile, Evaluator.cpp:1107-1137)."""
+        err = self.missed + self.false_positives + self.id_switches
+        return (
+            "Evaluating PETS on ground plane...\n"
+            "| Recl Prcn  FAR| MT PT ML|  FPR  FNR  FP  FN  ID  FM  err|"
+            " MOTA MOTP MOTL\n"
+            "|%5.1f%5.1f%5.2f|%3i%3i%3i|%5.1f%5.1f%4i%4i%4i%4i%5i|"
+            "%5.1f %4.1f %4.1f\n" % (
+                self.recall * 100, self.precision * 100, self.far,
+                self.most_tracked, self.partially_tracked, self.most_lost,
+                self.fa_per_gt * 100, self.miss_per_gt * 100,
+                self.false_positives, self.missed, self.id_switches,
+                self.fragments, err,
+                self.mota * 100, self.motp * 100, self.motal * 100))
+
+    def save(self, path: str) -> None:
+        """Write the reference's per-(K, window) evaluation file
+        (ref Associator3D.cpp:375-377 + Evaluator.cpp:1107-1137)."""
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.report())
+
 
 class ClearMotAccumulator:
     """Accumulates per-frame (track_id, x, y) results keyed by a stable id

@@ -70,6 +70,15 @@ def run_sequence(engine: TrackingEngine, frames_fn, detections_fn,
             catch_up()
     if accs is None:
         return {}
+    # finalize-time backfill: window w has only scored frames up to
+    # last_done - w; re-score the remaining tail with the FINAL best
+    # hypothesis so every window covers every frame (the reference's
+    # Finalize does exactly this sweep, ref Associator3D.cpp:364-372)
+    for w in range(deferred_windows):
+        for td in range(max(last_done - w + 1, 0), last_done + 1):
+            r = engine.deferred_result(td)
+            accs[w].set_result(
+                td, [(i, p[0], p[1]) for i, p in zip(r.ids, r.points)])
     return {w: accs[w].evaluate() for w in range(deferred_windows)}
 
 
@@ -77,8 +86,16 @@ def k_sweep(make_engine: Callable[[int], TrackingEngine],
             frames_fn, detections_fn, num_frames: int,
             gt, crop_zone, ks: Sequence[int] = (1, 5, 10),
             num_experiments: int = 1,
-            deferred_windows: int = 11) -> List[ExperimentResult]:
-    """K-sweep x repeats (ref main.cpp:103-106)."""
+            deferred_windows: int = 11,
+            result_dir: Optional[str] = None,
+            tag: str = "run") -> List[ExperimentResult]:
+    """K-sweep x repeats (ref main.cpp:103-106).
+
+    result_dir: when set, every (K, window) evaluation is written to
+    `{result_dir}/K{K:03d}/{tag}_evaluation_K{K:03d}_W{W:03d}.txt` in the
+    reference's file layout and text format (ref Associator3D.cpp:357-377
+    + Evaluator.cpp:1107-1137)."""
+    import os
     import time
 
     out = []
@@ -90,6 +107,11 @@ def k_sweep(make_engine: Callable[[int], TrackingEngine],
                                       num_frames, gt, crop_zone,
                                       deferred_windows=deferred_windows)
             dt = time.perf_counter() - t0
+            if result_dir is not None:
+                for w, res in per_window.items():
+                    res.save(os.path.join(
+                        result_dir, "K%03d" % k,
+                        "%s_evaluation_K%03d_W%03d.txt" % (tag, k, w)))
             out.append(ExperimentResult(
                 k=k, repeat=rep, per_window=per_window,
                 fps=num_frames / dt))

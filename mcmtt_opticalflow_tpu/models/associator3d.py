@@ -151,6 +151,11 @@ class Associator3D:
         self.best_solution: List[int] = []
         self.frame_idx = -1
         self.num_frames_proc = 0
+        # hypothesis-pool overflow accounting (the solver graph holds
+        # SolverConfig.max_vertices tracks; overflow is rank-pruned, never
+        # silently truncated)
+        self.pool_dropped_last = 0
+        self.pool_dropped_total = 0
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
         # when set to a list, every frame's hypothesis graph (weights,
         # adjacency, validity, warm starts) is appended to it — the
@@ -501,21 +506,21 @@ class Associator3D:
         return bool(self.host_cams[c].visible(point))
 
     def _reconstruct_batch(self, combos: List[Tuple[int, ...]]):
-        """Vectorised `_reconstruct` over a list of combinations (full-body
-        mode; head mode falls back to the per-combo path).  One numpy pass
-        replaces N Python-loop reconstructions — the host-side cost of the
-        reference's per-branch reconstruction loop
-        (ref Track3D_BranchTracks, Associator3D.cpp:1885-2047).
+        """Vectorised `_reconstruct` over a list of combinations, both
+        detection modes.  One numpy pass replaces N Python-loop
+        reconstructions — the host-side cost of the reference's per-branch
+        reconstruction loop (ref Track3D_BranchTracks,
+        Associator3D.cpp:1885-2047; head mode :857-884 + :930-982).
 
         Returns a list aligned with `combos` of
         (point, raw_points, raw_mask, max_error, cost) or None."""
         n = len(combos)
         if n == 0:
             return []
-        if self.acfg.detection_mode == "head":
-            return [self._reconstruct(c) for c in combos]
         nc = self.num_cams
+        head = self.acfg.detection_mode == "head"
         locs = np.zeros((n, nc, 3))
+        tops = np.zeros((n, nc, 3)) if head else None
         mask = np.zeros((n, nc), bool)
         sens = np.zeros((n, nc))
         for i, combo in enumerate(combos):
@@ -523,16 +528,51 @@ class Associator3D:
                 if tid < 0:
                     continue
                 tk = self.tracklets[c][tid]
-                locs[i, c] = tk.loc3d
+                locs[i, c] = tk.bp_bottom if head else tk.loc3d
+                if head:
+                    tops[i, c] = tk.bp_top
                 mask[i, c] = True
                 sens[i, c] = tk.sensitivity
         num = mask.sum(1)
-        max_err = self.acfg.e_cal + self.acfg.e_det * (sens * mask).sum(1)
-        denom = np.maximum(num, 1)[:, None]
-        point = (locs * mask[..., None]).sum(1) / denom
-        d = np.linalg.norm(locs - point[:, None, :], axis=-1)
-        mean_dist = (d * mask).sum(1) / np.maximum(num, 1)
         single = num < 2
+        if head:
+            # batched LS line meet of the masked back-projection lines
+            # (the numpy mirror of geometry.triangulation.
+            # nview_point_reconstruction; ref NViewPointReconstruction
+            # :930-982).  max-based error (ref :871); single-line combos
+            # fall back to that line's ground end (ref :875-878)
+            if self.acfg.consider_sensitivity:
+                max_err = np.maximum(self.acfg.e_cal,
+                                     (self.acfg.e_det * sens * mask).max(1))
+            else:
+                max_err = np.full(n, self.acfg.max_body_width / 2.0)
+            d = locs - tops
+            d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            p = (d[..., :, None] * d[..., None, :]
+                 - np.eye(3))                          # [n, C, 3, 3]
+            pp = (p @ p) * mask[..., None, None]       # P^T P (P symmetric)
+            a_mat = pp.sum(1)
+            b_vec = np.einsum("ncij,ncj->ni", pp, tops * mask[..., None])
+            a_mat[single] = np.eye(3)
+            point = np.linalg.solve(a_mat, b_vec[..., None])[..., 0]
+            lam = np.sum(d * (point[:, None, :] - tops), -1)
+            foot = tops + lam[..., None] * d
+            dist = np.linalg.norm(foot - point[:, None, :], axis=-1)
+            mean_dist = (dist * mask).sum(1) / np.maximum(num, 1)
+            # single-line fallback point: the line's ground (bottom) end
+            first = np.argmax(mask, axis=1)
+            point = np.where(single[:, None],
+                             locs[np.arange(n), first], point)
+            mean_dist = np.where(single,
+                                 self.acfg.max_tracklet_distance / 2.0,
+                                 mean_dist)
+        else:
+            max_err = (self.acfg.e_cal
+                       + self.acfg.e_det * (sens * mask).sum(1))
+            denom = np.maximum(num, 1)[:, None]
+            point = (locs * mask[..., None]).sum(1) / denom
+            d = np.linalg.norm(locs - point[:, None, :], axis=-1)
+            mean_dist = (d * mask).sum(1) / np.maximum(num, 1)
         prob = np.where(single, 0.5,
                         0.5 * _erfc(4.0 * mean_dist
                                     / np.maximum(max_err, 1e-12) - 2.0))
@@ -711,18 +751,29 @@ class Associator3D:
                 continue
             # refresh current combination against tracklet liveness
             combo = list(tr.combination)
+            killed = False
             for c in range(self.num_cams):
                 t2 = combo[c]
                 if t2 < 0:
                     continue
                 tk = self.tracklets[c].get(t2)
                 if tk is None or not tk.activated:
+                    # a deactivated tracklet shorter than the minimum kills
+                    # the whole branch (ref MIN_TRACKLET_LENGTH gate,
+                    # Associator3D.cpp:1399-1404; a no-op at the default 1)
+                    if (tk is not None and not tk.activated
+                            and tk.duration < self.acfg.min_tracklet_length):
+                        reg.set_branch_validity(tid, False)
+                        killed = True
+                        break
                     combo[c] = -1
                 else:
                     tr.last_t_end[c] = frame_idx
                     tr.last_t_loc[c] = tk.loc3d
                     tr.last_sens[c] = tk.sensitivity
                     tr.last_rgb[c] = tk.rgb_tail
+            if killed:
+                continue
             tr.combination = tuple(combo)
 
             if all(t2 < 0 for t2 in combo):
@@ -744,6 +795,7 @@ class Associator3D:
                 pb, pm, np.asarray([tr.duration for tr in pausing]))
             for tr, cx in zip(pausing, costs):
                 tr.cost_exit = float(cx)
+                tr.invalidate_cost()
 
         recs = self._reconstruct_batch([tr.combination for tr in live])
         ok_idx = [i for i, r in enumerate(recs) if r is not None]
@@ -849,6 +901,7 @@ class Associator3D:
         tr.is_meas = np.append(tr.is_meas, is_meas)
         tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
         tr.cost_link_pos = np.append(tr.cost_link_pos, cost_link)
+        tr.invalidate_cost()
 
     def _pack_windows(self, tracks: List[Track]):
         """Gather each track's scoring window into padded batch arrays
@@ -911,6 +964,7 @@ class Associator3D:
             tr.smoothed[s:] = smoothed[i, :ln]
             tr.velocity[s:] = velocity[i, :ln]
             tr.cost_recon_pos[s:] = cost_r[i, :ln]
+            tr.invalidate_cost()
             if s > 0:
                 # the device zeroes window position 0's link cost (its
                 # predecessor lies outside the window); the seam link
@@ -989,6 +1043,7 @@ class Associator3D:
             for tr, ce in zip(new_tracks,
                               self._enter_cost_batch(pb, pm)):
                 tr.cost_enter = float(ce)
+                tr.invalidate_cost()
         return seeds
 
     def _new_track_from_seed(self, frame_idx, combo, point, raws, rmask,
@@ -1157,6 +1212,7 @@ class Associator3D:
         tr.is_meas[-1] = True
         tr.cost_recon_pos[-1] = cost_rec
         tr.cost_link_pos[-1] = -np.log(max(p_link, 1e-300))
+        tr.invalidate_cost()
         tr.combination = tuple(combo)
         if not self._apply_tracklet_history(tr, combo, frame_idx):
             return None
@@ -1171,16 +1227,34 @@ class Associator3D:
         reg = self.registry
         tr = self._clone_track(paused, reg.alloc_track_id(), frame_idx,
                                length=paused.n_measured)
-        # linear interpolation over the gap (ref :2104-2121)
+        # linear interpolation over the gap (ref :2104-2121), appended as
+        # ONE block — the per-position np.vstack loop this replaces
+        # reallocated the whole track history `gap` times per candidate
+        c = self.num_cams
         delta = (seed_pt - last_meas) / gap
-        for k in range(1, gap):
-            p = last_meas + delta * k
-            self._append_position(tr, p, np.zeros((self.num_cams, 3)),
-                                  np.zeros((self.num_cams,), bool), 0.0,
-                                  0.0, 0.0, is_meas=False)
-        self._append_position(tr, seed_pt, seed.raw_points[0],
-                              seed.raw_mask[0], seed.max_error[0],
-                              seed.cost_recon_pos[0], 0.0, is_meas=True)
+        pts = last_meas[None] + delta[None] * np.arange(1, gap + 1)[:, None]
+        pts[-1] = seed_pt
+        vel = np.diff(np.vstack([tr.smoothed[-1:], pts]), axis=0)
+        raws = np.zeros((gap, c, 3))
+        raws[-1] = seed.raw_points[0]
+        rmask = np.zeros((gap, c), bool)
+        rmask[-1] = seed.raw_mask[0]
+        merr = np.zeros(gap)
+        merr[-1] = seed.max_error[0]
+        is_meas = np.zeros(gap, bool)
+        is_meas[-1] = True
+        cost_rec = np.zeros(gap)
+        cost_rec[-1] = seed.cost_recon_pos[0]
+        tr.points = np.vstack([tr.points, pts])
+        tr.smoothed = np.vstack([tr.smoothed, pts])
+        tr.velocity = np.vstack([tr.velocity, vel])
+        tr.raw_points = np.concatenate([tr.raw_points, raws], 0)
+        tr.raw_mask = np.concatenate([tr.raw_mask, rmask], 0)
+        tr.max_error = np.append(tr.max_error, merr)
+        tr.is_meas = np.append(tr.is_meas, is_meas)
+        tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
+        tr.cost_link_pos = np.append(tr.cost_link_pos, np.zeros(gap))
+        tr.invalidate_cost()
         tr.combination = seed.combination
         tr.time_end = seed.time_end
         tr.n_measured = tr.length
@@ -1237,6 +1311,7 @@ class Associator3D:
                         tr.last_rgb[c], tk.rgb_head, float(gap),
                         self.acfg.cost_rgb_min_dist, self.acfg.cost_rgb_coef,
                         self.acfg.cost_rgb_decay)
+                    tr.invalidate_cost()
             tr.last_rgb[c] = tk.rgb_tail
             tr.last_t_loc[c] = tk.loc3d
             tr.last_t_end[c] = frame_idx
@@ -1359,7 +1434,17 @@ class Associator3D:
             self.prev_hypotheses = []
             self.best_solution = []
             return
-        pool = pool[:vmax]
+        if len(pool) > vmax:
+            # explicit rank-pruning instead of a silent truncation: keep
+            # the top-V by (-gt_prob, cost) — the same priority order the
+            # reference's MAX_TRACK_IN_OPTIMIZATION cap applies
+            # (ref Associator3D.cpp:23 + 2959-2994) — and count the drops
+            pool.sort(key=rank.__getitem__)
+            self.pool_dropped_last = len(pool) - vmax
+            self.pool_dropped_total += self.pool_dropped_last
+            pool = pool[:vmax]
+        else:
+            self.pool_dropped_last = 0
         pool_idx = {t: i for i, t in enumerate(pool)}
         n = len(pool)
 

@@ -275,13 +275,15 @@ def solve_mwcp(weights: jnp.ndarray,
     # pregenerate ALL the loop's randomness in one parallel pass — the
     # per-iteration threefry splits otherwise dominate the (latency-bound)
     # while-loop body
+    unroll = max(int(cfg.unroll), 1)
+    iters_pad = ((iters + unroll - 1) // unroll) * unroll
     ku1, kg2, ku3, kg4 = jax.random.split(keys[r], 4)
-    u_dir_all = jax.random.uniform(ku1, (iters, r))
-    g_dir_all = jax.random.gumbel(kg2, (iters, r, v))
-    u_ten_all = jax.random.uniform(ku3, (iters, r))
-    g_rnd_all = jax.random.gumbel(kg4, (iters, r, v))
+    u_dir_all = jax.random.uniform(ku1, (iters_pad, r))
+    g_dir_all = jax.random.gumbel(kg2, (iters_pad, r, v))
+    u_ten_all = jax.random.uniform(ku3, (iters_pad, r))
+    g_rnd_all = jax.random.gumbel(kg4, (iters_pad, r, v))
 
-    def step(st: _S) -> _S:
+    def substep(st: _S) -> _S:
         outs = jax.vmap(one_replica_step)(
             st.in_c, st.tabu, st.fbest, st.best, st.cp, st.w, st.l_left,
             st.use_directed, st.sol_masks, st.sol_scores, st.sol_next,
@@ -289,6 +291,15 @@ def solve_mwcp(weights: jnp.ndarray,
             u_dir_all[st.it], g_dir_all[st.it], u_ten_all[st.it],
             g_rnd_all[st.it])
         return _S(*outs, st.it + 1)
+
+    def step(st: _S) -> _S:
+        # each while-loop trip applies `unroll` BLS moves: the per-move
+        # compute is microscopic (a [V, R] matmul pair), so wall-clock is
+        # loop-carry latency — unrolling cuts the trip count `unroll`-fold
+        # for the same move sequence
+        for _ in range(unroll):
+            st = substep(st)
+        return st
 
     st0 = _S(
         in_c=in_c0,
@@ -310,7 +321,7 @@ def solve_mwcp(weights: jnp.ndarray,
         in_c0, score0, st0.sol_masks, st0.sol_scores, st0.sol_next)
     st0 = st0._replace(sol_masks=sm, sol_scores=ss, sol_next=sn)
 
-    st = jax.lax.while_loop(lambda s_: s_.it < iters, step, st0)
+    st = jax.lax.while_loop(lambda s_: s_.it < iters_pad, step, st0)
 
     # fold the final bests into the ring buffers
     sm, ss, sn = jax.vmap(

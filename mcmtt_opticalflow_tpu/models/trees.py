@@ -84,6 +84,13 @@ class Track:
     last_sens: np.ndarray = None      # [C]
     last_rgb: np.ndarray = None       # [C, 48]
 
+    # memoized total_cost: every per-frame ordering pass (branching,
+    # hypothesis-pool ranking, pruning) sorts by cost, and the reference's
+    # GetCost re-sums the per-position arrays each call; mutation sites
+    # call invalidate_cost()
+    _cost_cache: Optional[float] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
     @property
     def length(self) -> int:
         return 0 if self.points is None else len(self.points)
@@ -92,11 +99,17 @@ class Track:
     def duration(self) -> int:
         return self.n_measured
 
+    def invalidate_cost(self) -> None:
+        self._cost_cache = None
+
     def total_cost(self) -> float:
         """(ref GetCost, Associator3D.cpp:2567-2578)"""
-        return (self.cost_enter + float(self.cost_recon_pos.sum())
+        if self._cost_cache is None:
+            self._cost_cache = (
+                self.cost_enter + float(self.cost_recon_pos.sum())
                 + float(self.cost_link_pos.sum()) + self.cost_rgb
                 + self.cost_exit)
+        return self._cost_cache
 
     def point_at(self, frame_idx: int, time_start: Optional[int] = None):
         """Smoothed position at an absolute frame, or None."""

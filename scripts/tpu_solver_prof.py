@@ -40,10 +40,18 @@ def main():
 
     wj, aj, vj, ij = map(jnp.asarray, (w, a, valid, init))
 
-    for iters in (1, 25, 75, 150):
-        t = bench(lambda: jax.block_until_ready(
-            solve_mwcp(wj, aj, vj, ij, key, cfg, iters)))
-        print(f"solve_mwcp iters={iters:4d}: {t:8.2f} ms")
+    import os
+    unrolls = tuple(int(x) for x in
+                    os.environ.get("UNROLLS", "1,8").split(","))
+    for unroll in unrolls:
+        cfg_u = dataclasses.replace(cfg, unroll=unroll)
+        for iters in (150,):
+            t = bench(lambda: jax.block_until_ready(
+                solve_mwcp(wj, aj, vj, ij, key, cfg_u, iters)))
+            r = solve_mwcp(wj, aj, vj, ij, key, cfg_u, iters)
+            print(f"solve_mwcp iters={iters:4d} unroll={unroll:2d}: "
+                  f"{t:8.2f} ms  best={float(jnp.max(r.best_score)):.3f}",
+                  flush=True)
 
     res = solve_mwcp(wj, aj, vj, ij, key, cfg, 150)
     t = bench(lambda: jax.block_until_ready(device_k_best(res, 30)))

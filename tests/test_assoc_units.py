@@ -247,3 +247,180 @@ class TestExperimentRunner:
         assert len(results) == 1
         assert 0 in results[0].per_window
         assert results[0].fps > 0
+
+    def test_finalize_backfill_scores_every_frame(self):
+        """Window w must score the sequence's last w frames at finalize
+        (ref Associator3D.cpp:364-372): a perfect fake engine must show
+        ZERO misses at every deferred window."""
+        from mcmtt_opticalflow_tpu.eval.experiment import run_sequence
+        from mcmtt_opticalflow_tpu.models.associator3d import Track3DResult
+
+        t_total, n_people = 8, 2
+        gx = np.arange(1, t_total + 1)[:, None] * np.ones((1, n_people)) * 100
+        gy = gx + np.arange(n_people)[None, :] * 500
+
+        class FakeEngine:
+            class _A:
+                frame_idx = -1
+            assoc = _A()
+
+            def process_frame(self, frames, dets, frame_idx):
+                self.assoc.frame_idx = frame_idx
+
+            def deferred_result(self, td):
+                pts = np.stack([gx[td], gy[td], np.zeros(n_people)], -1)
+                return Track3DResult(frame_idx=td,
+                                     ids=list(range(n_people)),
+                                     track_ids=list(range(n_people)),
+                                     points=pts)
+
+        zone = (-1e5, -1e5, 1e5, 1e5)
+        per_window = run_sequence(FakeEngine(), lambda t: None,
+                                  lambda t: None, t_total, (gx, gy),
+                                  zone, deferred_windows=4)
+        for w, res in per_window.items():
+            assert res.missed == 0, (w, res.missed)
+            assert res.mota == 1.0, (w, res.mota)
+
+    def test_result_file_format(self, tmp_path):
+        """EvaluationResult.save writes the reference's result-file text
+        (ref PrintResultToFile, Evaluator.cpp:1107-1137)."""
+        from mcmtt_opticalflow_tpu.eval.clearmot import EvaluationResult
+
+        res = EvaluationResult(mota=0.855, motp=0.912, motal=0.86,
+                               recall=0.95, precision=0.97, missed=12,
+                               false_positives=7, id_switches=2,
+                               most_tracked=5, partially_tracked=1,
+                               most_lost=0, fragments=3, far=0.23,
+                               miss_per_gt=0.05, fa_per_gt=0.03)
+        p = tmp_path / "K003" / "run_evaluation_K003_W000.txt"
+        res.save(str(p))
+        text = p.read_text()
+        lines = text.splitlines()
+        assert lines[0] == "Evaluating PETS on ground plane..."
+        assert lines[1].startswith("| Recl Prcn  FAR|")
+        # err = FN + FP + ID
+        assert "%4i%4i%4i" % (7, 12, 2) in lines[2]
+        assert "%5i" % 21 in lines[2]
+        assert lines[2].startswith("| 95.0 97.0 0.23|  5  1  0|")
+
+
+class TestHeadMode:
+    """Head detection mode: batched LS line-meet reconstruction
+    (ref Associator3D.cpp:857-884 + NViewPointReconstruction :930-982)."""
+
+    def _head_assoc(self, sc, consider_sensitivity=False):
+        import dataclasses
+        cfg = small_cfg()
+        cfg = dataclasses.replace(cfg, assoc3d=dataclasses.replace(
+            cfg.assoc3d, detection_mode="head",
+            consider_sensitivity=consider_sensitivity))
+        return Associator3D(cfg, sc.cameras)
+
+    def test_batch_matches_scalar_reconstruction(self):
+        """_reconstruct_batch (vectorised) must agree with _reconstruct
+        (the scalar reference mirror) on every combination, both modes."""
+        import dataclasses
+        sc = make_scenario(num_cameras=2, num_frames=3, num_people=3,
+                           image_size=(256, 192), arena=2000.0, seed=7)
+        for mode, sensit in (("head", False), ("head", True),
+                             ("full_body", False)):
+            cfg = small_cfg()
+            cfg = dataclasses.replace(cfg, assoc3d=dataclasses.replace(
+                cfg.assoc3d, detection_mode=mode,
+                consider_sensitivity=sensit))
+            assoc = Associator3D(cfg, sc.cameras)
+            feed_frame(assoc, sc, 0)
+            # every 1- and 2-camera combination of live tracklets
+            combos = []
+            for t0 in assoc.active_tracklets[0]:
+                combos.append((t0, -1))
+                for t1 in assoc.active_tracklets[1]:
+                    combos.append((t0, t1))
+            for t1 in assoc.active_tracklets[1]:
+                combos.append((-1, t1))
+            batch = assoc._reconstruct_batch(combos)
+            for combo, got in zip(combos, batch):
+                want = assoc._reconstruct(combo)
+                if want is None:
+                    assert got is None, (mode, combo)
+                    continue
+                assert got is not None, (mode, combo)
+                np.testing.assert_allclose(got[0], want[0], rtol=1e-9,
+                                           atol=1e-6)
+                np.testing.assert_allclose(got[3], want[3], rtol=1e-9)
+                np.testing.assert_allclose(got[4], want[4], rtol=1e-7,
+                                           atol=1e-9)
+
+    def test_head_mode_end_to_end(self):
+        """A head-mode associator run produces tracks near GT."""
+        sc = make_scenario(num_cameras=2, num_frames=5, num_people=3,
+                           image_size=(256, 192), arena=2000.0, seed=11)
+        assoc = self._head_assoc(sc)
+        for t in range(5):
+            r = feed_frame(assoc, sc, t)
+        assert len(r.ids) >= 1
+        gt = sc.gt_xy[4]
+        gt = gt[~np.isnan(gt[:, 0])]
+        for p in r.points:
+            d = np.linalg.norm(gt - p[:2], axis=-1).min()
+            assert d < 800.0
+
+
+class TestMinTrackletLength:
+    def test_short_deactivated_tracklet_kills_branch(self):
+        """A track whose tracklet deactivates with duration <
+        min_tracklet_length loses its whole branch (ref
+        Associator3D.cpp:1399-1404); at the default (1) nothing dies."""
+        import dataclasses
+        sc = make_scenario(num_cameras=2, num_frames=3, num_people=2,
+                           image_size=(256, 192), arena=2000.0, seed=3)
+        for min_len, expect_kill in ((2, True), (1, False)):
+            cfg = small_cfg()
+            cfg = dataclasses.replace(cfg, assoc3d=dataclasses.replace(
+                cfg.assoc3d, min_tracklet_length=min_len))
+            assoc = Associator3D(cfg, sc.cameras)
+            feed_frame(assoc, sc, 0)
+            tracked = [t.id for t in assoc.registry.tracks.values()
+                       if t.combination[0] >= 0]
+            assert tracked
+            # frame 1: camera 0 sees nothing -> its tracklets deactivate
+            # at duration 1
+            c = len(sc.cameras)
+            ids = np.zeros((c, 16), np.int64)
+            boxes = np.zeros((c, 16, 4), np.float32)
+            mask = np.zeros((c, 16), bool)
+            for j, b in enumerate(sc.detections[1][1][:16]):
+                ids[1, j] = j
+                boxes[1, j] = b
+                mask[1, j] = True
+            assoc.step(1, ids, boxes, mask,
+                       jnp.asarray(np.stack(sc.frames(1))))
+            survivors = [tid for tid in tracked
+                         if tid in assoc.registry.tracks
+                         and assoc.registry.tracks[tid].valid]
+            if expect_kill:
+                assert not survivors, survivors
+            else:
+                assert survivors
+
+
+class TestPoolOverflow:
+    def test_pool_overflow_is_rank_pruned_and_counted(self):
+        """With a solver graph smaller than the candidate pool the engine
+        must rank-prune explicitly and count the drops (the reference
+        instead carries MAX_TRACK_IN_OPTIMIZATION=2000 vertices,
+        ref Associator3D.cpp:23)."""
+        import dataclasses
+        sc = make_scenario(num_cameras=2, num_frames=6, num_people=6,
+                           image_size=(256, 192), arena=3000.0, seed=5)
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, max_vertices=8))
+        assoc = Associator3D(cfg, sc.cameras)
+        for t in range(6):
+            # rotating tracklet ids churn seeds every frame, overflowing
+            # the 8-vertex graph
+            r = feed_frame(assoc, sc, t, next_id="rotate")
+        assert assoc.pool_dropped_total > 0
+        assert len(r.ids) >= 1          # engine still tracks

@@ -31,10 +31,32 @@ def main():
     from mcmtt_opticalflow_tpu.data import make_scenario
     from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
 
+    from mcmtt_opticalflow_tpu.eval.clearmot import ClearMotAccumulator
+
     total = num_frames + WARMUP
     sc = make_scenario(num_cameras=4, num_frames=total,
                        num_people=22, image_size=(768, 576), arena=9000.0,
                        noise_px=1.0, fp_rate=0.10, fn_rate=0.05, seed=0)
+    # quality co-report: CLEAR-MOT at deferred windows {0, 3, 6} over the
+    # whole run, so perf work cannot silently trade MOTA (the zone covers
+    # the synthetic arena; margin = the reference's match radius)
+    gx, gy = sc.gt_matrices()
+    zone = (-9000.0, -9000.0, 9000.0, 9000.0)
+    windows = (0, 3, 6)
+    accs = {w: ClearMotAccumulator(gx, gy, zone, 1000.0) for w in windows}
+    harvested = -1
+
+    def harvest(eng):
+        nonlocal harvested
+        done = getattr(eng.assoc, "completed_frame", eng.assoc.frame_idx)
+        while harvested < done:
+            harvested += 1
+            for w in windows:
+                td = harvested - w
+                if td >= 0:
+                    r = eng.deferred_result(td)
+                    accs[w].set_result(td, [(i, p[0], p[1]) for i, p in
+                                            zip(r.ids, r.points)])
     cfg = EngineConfig(
         num_cameras=4, image_width=768, image_height=576,
         # 2 pyramid levels cover the PETS-scale per-frame motion (<16 px)
@@ -63,11 +85,17 @@ def main():
     for t in range(WARMUP):
         tw = time.perf_counter()
         eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
+        harvest(eng)
         if verbose:
             print(f"warmup frame {t}: {time.perf_counter() - tw:.1f}s",
                   file=sys.stderr, flush=True)
     eng.assoc.timer.reset()   # steady-state stage times only
 
+    prof = None
+    if os.environ.get("BENCH_PROFILE"):
+        import cProfile
+        prof = cProfile.Profile()
+        prof.enable()
     t0 = time.perf_counter()
     per_frame = []
     tracks_peak = 0
@@ -76,7 +104,21 @@ def main():
         eng.process_frame(frames[t], sc.detections[t], frame_idx=t)
         per_frame.append(time.perf_counter() - f0)
         tracks_peak = max(tracks_peak, len(eng.assoc.registry.tracks))
+        harvest(eng)
     elapsed = time.perf_counter() - t0
+    if prof is not None:
+        prof.disable()
+        prof.dump_stats(os.environ["BENCH_PROFILE"])
+    while eng.flush() is not None:       # drain the pipeline tail
+        harvest(eng)
+    # finalize-time backfill (every window scores every frame)
+    for w in windows:
+        for td in range(max(harvested - w + 1, 0), harvested + 1):
+            r = eng.deferred_result(td)
+            accs[w].set_result(td, [(i, p[0], p[1]) for i, p in
+                                    zip(r.ids, r.points)])
+    quality = {f"mota_w{w}": round(accs[w].evaluate().mota, 4)
+               for w in windows}
 
     # median per-frame time is robust to residual bucket compiles mid-run
     fps = 1.0 / float(np.median(per_frame))
@@ -103,6 +145,8 @@ def main():
         "vs_baseline": round(fps / 7.0, 3),
         "frames": len(per_frame),
         "tracks_peak": tracks_peak,
+        "pool_dropped": eng.assoc.pool_dropped_total,
+        **quality,
         "stage_ms": stage_ms,
     }))
 

@@ -32,12 +32,24 @@ def _to_numpy(tree):
 
 
 def save_snapshot(engine, path: str) -> None:
-    """Snapshot a TrackingEngine to one file."""
+    """Snapshot a TrackingEngine to one file.
+
+    A pipelined engine is drained first (its in-flight 2D frame and
+    deferred hypothesis solve are completed), so the snapshot is always a
+    clean frame boundary — the reference likewise snapshots between Run
+    calls (ref PSNWhere_Associator3D.cpp:437-445)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if hasattr(engine, "flush"):
+        while engine.flush() is not None:
+            pass
     a = engine.assoc
     payload: Dict[str, Any] = {
         "version": _SNAPSHOT_VERSION,
         "frame_idx": engine.frame_idx,
+        # the result history + deferred-evaluation inputs (the reference
+        # saves and replays these on load, ref Associator3D.cpp:3948-4845)
+        "results": engine.results,
+        "timing": engine.timing,
         "state2d": _to_numpy(engine.state2d),
         "assoc": {
             "tracks": a.registry.tracks,
@@ -54,6 +66,7 @@ def save_snapshot(engine, path: str) -> None:
             "best_solution": a.best_solution,
             "frame_idx": a.frame_idx,
             "num_frames_proc": a.num_frames_proc,
+            "completed_frame": a.completed_frame,
             "solver_key": np.asarray(a.solver_key),
         },
     }
@@ -69,6 +82,8 @@ def load_snapshot(engine, path: str) -> int:
         payload = pickle.load(f)
     assert payload["version"] == _SNAPSHOT_VERSION
     engine.frame_idx = payload["frame_idx"]
+    engine.results = payload.get("results", [])
+    engine.timing = payload.get("timing", [])
     state_np = payload["state2d"]
     engine.state2d = type(engine.state2d)(
         *[jnp.asarray(leaf) for leaf in state_np])
@@ -88,5 +103,6 @@ def load_snapshot(engine, path: str) -> int:
     a.best_solution = s["best_solution"]
     a.frame_idx = s["frame_idx"]
     a.num_frames_proc = s["num_frames_proc"]
+    a.completed_frame = s.get("completed_frame", s["frame_idx"])
     a.solver_key = jnp.asarray(s["solver_key"])
     return engine.frame_idx

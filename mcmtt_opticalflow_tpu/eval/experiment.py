@@ -52,13 +52,18 @@ def run_sequence(engine: TrackingEngine, frames_fn, detections_fn,
                 td, [(i, p[0], p[1]) for i, p in zip(r.ids, r.points)])
 
     # a pipelined engine's association trails its input by one or more
-    # frames: harvest at the associator's completed frame, not the input
-    # frame, and drain the pipeline tail with flush()
+    # frames: harvest at the associator's COMPLETED frame (its applied
+    # hypothesis solve), not the input frame, and drain the pipeline tail
+    # with flush()
     last_done = -1
+
+    def _completed() -> int:
+        a = engine.assoc
+        return getattr(a, "completed_frame", a.frame_idx)
 
     def catch_up() -> None:
         nonlocal last_done
-        while accs is not None and last_done < engine.assoc.frame_idx:
+        while accs is not None and last_done < _completed():
             last_done += 1
             harvest(last_done)
 

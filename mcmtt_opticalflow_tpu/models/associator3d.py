@@ -94,11 +94,21 @@ class Track3DResult:
 
 class Associator3D:
     def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
-                 sidemaps: Optional[Sequence[Tuple]] = None, mesh=None):
+                 sidemaps: Optional[Sequence[Tuple]] = None, mesh=None,
+                 deferred_solve: bool = False):
         """sidemaps: optional per-camera (sensitivity_map, boundary_map,
         stride) triples — e.g. the reference's precomputed text matrices
         via geometry.sidemaps.load_or_compute_sidemaps (ref
         PSNWhere.cpp:103-122).  Default: computed from the Tsai model.
+
+        deferred_solve: pipeline the hypothesis solve one frame deep —
+        step(t) dispatches frame t's fused rescore+solve program and
+        returns frame t-1's result; the fetch happens at the start of
+        step(t+1), so the device solve and its (slow-tunnel) device->host
+        copy run in the shadow of the next frame's host work.  The host-
+        side operation sequence is IDENTICAL to the sequential mode —
+        results are bit-equal, only delayed one frame (call collect()
+        after the last frame for the final one).
 
         mesh: optional ('cam', 'block') jax.sharding.Mesh.  When given,
         the fused per-frame device program runs SPMD: the track-window
@@ -151,6 +161,11 @@ class Associator3D:
         self.best_solution: List[int] = []
         self.frame_idx = -1
         self.num_frames_proc = 0
+        self.deferred_solve = deferred_solve
+        self._pending_solve: Optional[dict] = None
+        # last frame whose hypothesis solve has been applied (== frame_idx
+        # except between a deferred dispatch and its collect)
+        self.completed_frame = -1
         # hypothesis-pool overflow accounting (the solver graph holds
         # SolverConfig.max_vertices tracks; overflow is rank-pruned, never
         # silently truncated)
@@ -251,9 +266,28 @@ class Associator3D:
             candidate, track weights (host cost prefix + device window
             cost), the compatibility graph, and the replica-parallel BLS
             solve.  Replaces two dependent dispatch->get chains (each
-            ~26 ms of tunnel RTT on axon) with one."""
+            ~26 ms of tunnel RTT on axon) with one.
+
+            The fat position arrays arrive as float16 (the axon tunnel
+            moves ~10-27 MB/s, so upload bytes are the frame-time floor;
+            f16 quantizes mm-scale coordinates by <=8 mm against 500+ mm
+            cost scales) and widen to f32 on device."""
+            pts = pts.astype(jnp.float32)
+            raws = raws.astype(jnp.float32)
+            merr = merr.astype(jnp.float32)
             ws = score_track_windows(pts, raws, rmask, merr, lens, cams,
                                      acfg)
+            # velocity never crosses back to the host: it is recomputed
+            # there from the fetched smoothed window (same diff + speed
+            # gate), saving a [N, W, 3] f32 slice of the ~10 MB/s tunnel
+            # download every frame.  The per-position outputs downcast to
+            # f16 for the same reason (smoothed: <=8 mm quantisation;
+            # costs: ~0.1% — the bench's CLEAR-MOT co-report gates this)
+            ws = ws._replace(
+                velocity=jnp.zeros((0,), jnp.float32),
+                smoothed=ws.smoothed.astype(jnp.float16),
+                cost_recon=ws.cost_recon.astype(jnp.float16),
+                cost_link=ws.cost_link.astype(jnp.float16))
             nb = tree_ids.shape[0]
             vmax = solver_cfg.max_vertices
             rm = jnp.clip(row_map, 0)
@@ -264,7 +298,8 @@ class Associator3D:
             # vertices need positive log-likelihood (the host-side
             # total_cost() < 0 filter of the unfused path)
             vert_ok = wvalid & (weights > 0.0)
-            compat = compat_matrix(tree_ids, shared, pos_grid, have,
+            compat = compat_matrix(tree_ids, shared,
+                                   pos_grid.astype(jnp.float32), have,
                                    pvalid & vert_ok[:nb])
             adj = jnp.zeros((vmax, vmax), bool).at[:nb, :nb].set(compat)
             valid = vert_ok & jnp.zeros((vmax,), bool).at[:nb].set(pvalid)
@@ -614,6 +649,10 @@ class Associator3D:
             self._update_tracklets(frame_idx, np.asarray(ids),
                                    np.asarray(boxes), np.asarray(mask),
                                    rgb_frames)
+        # deferred mode: finish the PREVIOUS frame's in-flight solve now —
+        # tracklet ingest above ran in its shadow, and by this point the
+        # device->host copy started at dispatch time has usually landed
+        prev = self.collect() if self.deferred_solve else None
         with t.stage("assoc.update_tracks"):
             self._update_tracks(frame_idx)
         with t.stage("assoc.seeds"):
@@ -622,10 +661,31 @@ class Associator3D:
             self._branch_tracks(frame_idx, seeds)
         with t.stage("assoc.hypotheses"):
             self._form_hypotheses(frame_idx, seeds)
+        if self.deferred_solve:
+            return prev
         with t.stage("assoc.prune"):
             self._prune(frame_idx)
             self.registry.gc()
+        self.completed_frame = frame_idx
         return self._package_result(frame_idx)
+
+    def collect(self) -> Optional[Track3DResult]:
+        """Finish the in-flight deferred solve (fetch, apply, hypothesis
+        bookkeeping, pruning) and return that frame's result; None when
+        nothing is pending.  The sequence [dispatch -> collect] performs
+        exactly the host operations of a sequential step, so deferred and
+        sequential runs produce identical results."""
+        p = self._pending_solve
+        if p is None:
+            return None
+        self._pending_solve = None
+        if not p.get("empty"):
+            self._collect_solve(p)
+        with self.timer.stage("assoc.prune"):
+            self._prune(p["frame_idx"])
+            self.registry.gc()
+        self.completed_frame = p["frame_idx"]
+        return self._package_result(p["frame_idx"])
 
     # ------------------------------------------------------------------
     # 7a. tracklet ingest & cross-camera gating (ref :1099-1268)
@@ -950,8 +1010,18 @@ class Associator3D:
         self._apply_window_scores(tracks, res, lens, starts)
 
     def _apply_window_scores(self, tracks: List[Track], res, lens, starts):
-        smoothed = res.smoothed
-        velocity = res.velocity
+        smoothed = np.asarray(res.smoothed, np.float64)
+        velocity = np.asarray(res.velocity, np.float64)
+        if velocity.size == 0:
+            # fetch-trimmed path: recompute the window velocities on host
+            # from the smoothed positions — the exact formula of
+            # costs.score_track_windows (diff + min-speed gate)
+            velocity = np.diff(smoothed, axis=1,
+                               prepend=smoothed[:, :1])
+            speed = np.linalg.norm(velocity, axis=-1)
+            velocity = np.where(
+                (speed > self.acfg.min_moving_speed)[..., None],
+                velocity, 0.0)
         cost_r = res.cost_recon
         cost_l = res.cost_link
         valid = res.valid
@@ -1433,6 +1503,8 @@ class Associator3D:
             self._finish_rescore(updated, candidates, seeds)
             self.prev_hypotheses = []
             self.best_solution = []
+            if self.deferred_solve:
+                self._pending_solve = dict(frame_idx=frame_idx, empty=True)
             return
         if len(pool) > vmax:
             # explicit rank-pruning instead of a silent truncation: keep
@@ -1509,7 +1581,6 @@ class Associator3D:
         # per-hypothesis OpenMP solves + merge, ref Associator3D.cpp:
         # 2676-2708 + 2797-2828, at 1/K the device cost).  Warm-slot count
         # = k_best_size (static), so this compiles once.
-        all_solutions: List[Tuple[frozenset, float]] = []
         iters = self.cfg.solver.max_iterations
         init_masks = np.zeros((self.acfg.k_best_size, vmax), bool)
         for hi, h in enumerate(hyp_inputs[:self.acfg.k_best_size]):
@@ -1519,18 +1590,59 @@ class Associator3D:
         self.solver_key, k = jax.random.split(self.solver_key)
         self.timer.pop()
         with self.timer.stage("hyp.dispatch"):
+            # position arrays ship as f16 (see rescore_and_solve)
             out = self._rescore_and_solve(
-                self._dev(pts, True), self._dev(raws, True),
-                self._dev(rmask, True), self._dev(merr, True),
+                self._dev(pts.astype(np.float16), True),
+                self._dev(raws.astype(np.float16), True),
+                self._dev(rmask, True),
+                self._dev(merr.astype(np.float16), True),
                 self._dev(lens, True), self.cams,
                 self._dev(row_map), self._dev(host_base),
                 self._dev(tree_ids, True), self._dev(shared, True),
-                self._dev(pos_grid, True), self._dev(have, True),
+                self._dev(pos_grid.astype(np.float16), True),
+                self._dev(have, True),
                 self._dev(pvalid, True), self._dev(init_masks),
                 self._dev(k), iters)
+        # new_track consumption point (the related-set expansion above was
+        # this frame's only reader)
+        for t in reg.tracks.values():
+            t.new_track = False
+        pend = dict(frame_idx=frame_idx, out=out, updated=updated,
+                    candidates=candidates, seeds=seeds, rescore=rescore,
+                    pool=pool, n=n, nb=nb, row_map=row_map,
+                    host_base=host_base, lens=lens, starts=starts,
+                    init_masks=init_masks, tree_ids=tree_ids,
+                    shared=shared, pos_grid=pos_grid, have=have,
+                    pvalid=pvalid)
+        if self.deferred_solve:
+            # queue the device->host copy NOW: it streams over the (slow)
+            # tunnel while the next frame's host work runs, so collect()'s
+            # fetch finds the bytes already on the host
+            for a in jax.tree.leaves(out):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    break
+            self._pending_solve = pend
+            return
+        self._collect_solve(pend)
+
+    def _collect_solve(self, p: dict):
+        """Post-fetch half of the hypothesis step: apply window scores,
+        collect the K-best local optima into hypotheses, set GTProb and
+        the best solution (ref Associator3D.cpp:2687-2834)."""
+        reg = self.registry
+        frame_idx = p["frame_idx"]
+        updated, candidates, seeds = p["updated"], p["candidates"], p["seeds"]
+        rescore, pool, n, nb = p["rescore"], p["pool"], p["n"], p["nb"]
+        row_map, host_base = p["row_map"], p["host_base"]
+        lens, starts, init_masks = p["lens"], p["starts"], p["init_masks"]
+        tree_ids, shared = p["tree_ids"], p["shared"]
+        pos_grid, have, pvalid = p["pos_grid"], p["have"], p["pvalid"]
+        all_solutions: List[Tuple[frozenset, float]] = []
         with self.timer.stage("hyp.solve"):
             from mcmtt_opticalflow_tpu.parallel.mesh import fetch
-            ws, kb_masks, kb_scores = fetch(out)
+            ws, kb_masks, kb_scores = fetch(p["out"])
         with self.timer.stage("hyp.apply"):
             self._apply_window_scores(rescore, ws, lens, starts)
             self._finish_rescore(updated, candidates, seeds)
@@ -1586,8 +1698,6 @@ class Associator3D:
         self.best_solution = hyps[0].selected if hyps else []
         for t in self.best_solution:
             reg.tracks[t].current_best = True
-        for t in reg.tracks.values():
-            t.new_track = False
 
     # ------------------------------------------------------------------
     # pruning (ref :2845-2994 + :3005-3047)

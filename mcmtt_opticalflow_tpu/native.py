@@ -51,6 +51,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.parse_detections.restype = ctypes.c_int
     lib.parse_detections.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.rgb_to_gray_u8.restype = None
+    lib.rgb_to_gray_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
 
@@ -98,6 +102,21 @@ def bls_mwcp_solve(weights: np.ndarray, adj: np.ndarray,
     m = nsol.value
     return (mask.astype(bool), float(best),
             sol_masks[:m].astype(bool), sol_scores[:m])
+
+
+def rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """[..., 3] uint8 RGB -> [...] uint8 gray, (r+g+b)//3 — bit-identical
+    to the numpy fallback in TrackingEngine.process_frame."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    assert rgb.shape[-1] == 3
+    gray = np.empty(rgb.shape[:-1], np.uint8)
+    lib.rgb_to_gray_u8(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(gray.size),
+        gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return gray
 
 
 def parse_detections(text: str, max_boxes: int = 256) -> np.ndarray:

@@ -307,4 +307,27 @@ int parse_detections(const char* text, double* out_boxes, int max_boxes) {
     return count;
 }
 
+// ---------------------------------------------------------------------------
+// 8-bit RGB -> gray, (r + g + b) / 3 truncating
+// ---------------------------------------------------------------------------
+// The per-frame host ingest path (the engine uploads 8-bit gray only; the
+// reference feeds cvtColor CV_8U gray to its LK stage,
+// psn_where/PSNWhere_Tracker2D.cpp:256-262).  Memory-bound: one pass,
+// ~7 MB per 4-camera 768x576 frame — the numpy uint16 formulation this
+// replaces spent ~10 ms/frame on temporaries.
+void rgb_to_gray_u8(const unsigned char* rgb, long long num_pixels,
+                    unsigned char* gray) {
+    long long i = 0;
+    const unsigned char* p = rgb;
+    for (; i + 4 <= num_pixels; i += 4, p += 12) {
+        gray[i] = (unsigned char)(((unsigned)p[0] + p[1] + p[2]) / 3u);
+        gray[i + 1] = (unsigned char)(((unsigned)p[3] + p[4] + p[5]) / 3u);
+        gray[i + 2] = (unsigned char)(((unsigned)p[6] + p[7] + p[8]) / 3u);
+        gray[i + 3] = (unsigned char)(((unsigned)p[9] + p[10] + p[11]) / 3u);
+    }
+    for (; i < num_pixels; ++i)
+        gray[i] = (unsigned char)(((unsigned)rgb[3 * i] + rgb[3 * i + 1]
+                                   + rgb[3 * i + 2]) / 3u);
+}
+
 }  // extern "C"

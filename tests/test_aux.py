@@ -105,6 +105,45 @@ class TestCheckpoint:
                                frame_idx=3)
         assert r.frame_idx == 3
 
+    def test_snapshot_restores_results_for_deferred_eval(self, tmp_path):
+        """A resumed engine must reproduce the saved run's result history
+        and deferred outputs (the reference replays results on load,
+        ref Associator3D.cpp:437-445, 3948-4845)."""
+        from mcmtt_opticalflow_tpu.checkpoint import (save_snapshot,
+                                                      load_snapshot)
+        from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+        sc = make_scenario(num_cameras=2, num_frames=6, num_people=2,
+                           image_size=(128, 96), arena=3000.0, seed=5)
+        cfg = EngineConfig(
+            num_cameras=2, image_width=128, image_height=96,
+            tracker2d=Tracker2DConfig(max_detections=8, max_trackers=16,
+                                      max_features=16, lk_window=8,
+                                      lk_pyramid_levels=2, lk_iterations=4),
+            solver=SolverConfig(num_replicas=2, max_vertices=32,
+                                solutions_per_replica=4, max_iterations=100))
+        eng = TrackingEngine(cfg, sc.cameras, pipelined=True)
+        for t in range(4):
+            eng.process_frame(np.stack(sc.frames(t)), sc.detections[t],
+                              frame_idx=t)
+        path = str(tmp_path / "snap.pkl")
+        save_snapshot(eng, path)       # drains the pipeline first
+        assert eng.assoc.completed_frame == 3
+        assert len(eng.results) == 4
+
+        eng2 = TrackingEngine(cfg, sc.cameras, pipelined=True)
+        load_snapshot(eng2, path)
+        assert eng2.assoc.completed_frame == 3
+        assert len(eng2.results) == len(eng.results)
+        for ra, rb in zip(eng.results, eng2.results):
+            assert ra.frame_idx == rb.frame_idx
+            assert ra.ids == rb.ids
+        # deferred outputs reproduce exactly
+        for td in range(4):
+            a = eng.deferred_result(td)
+            b = eng2.deferred_result(td)
+            assert a.ids == b.ids
+            np.testing.assert_array_equal(a.points, b.points)
+
 
 class TestVizAndUtils:
     def test_overlay_and_tile(self):

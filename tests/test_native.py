@@ -107,3 +107,18 @@ class TestNativeParser:
         write_detection_file(path, boxes)
         out = native.parse_detections(open(path).read())
         np.testing.assert_allclose(out, boxes, rtol=1e-6)
+
+
+class TestNativeGray:
+    def test_matches_numpy_formula(self):
+        from mcmtt_opticalflow_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("no native toolchain")
+        rng = np.random.RandomState(0)
+        rgb = rng.randint(0, 256, (2, 37, 53, 3)).astype(np.uint8)
+        got = native.rgb_to_gray_u8(rgb)
+        want = ((rgb[..., 0].astype(np.uint16) + rgb[..., 1]
+                 + rgb[..., 2]) // 3).astype(np.uint8)
+        assert got.shape == want.shape
+        assert (got == want).all()

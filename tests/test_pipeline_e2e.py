@@ -108,11 +108,45 @@ class TestPipelinedMode:
             r = pipe.process_frame(frames, sc.detections[t], frame_idx=t)
             if r is not None:
                 pipe_results.append(r)
-        tail = pipe.flush()
-        if tail is not None:
+        while True:
+            tail = pipe.flush()
+            if tail is None:
+                break
             pipe_results.append(tail)
         assert len(pipe_results) == len(seq_results)
         for rs, rp in zip(seq_results, pipe_results):
             assert rs.frame_idx == rp.frame_idx
             assert rs.ids == rp.ids
             np.testing.assert_allclose(rs.points, rp.points, atol=1e-4)
+
+
+class TestTileDeltaUpload:
+    def test_tile_upload_bitwise_equals_full_upload(self):
+        """The tile-delta gray path must reproduce the full upload
+        bit-for-bit (it is lossless by construction)."""
+        import numpy as np
+        from mcmtt_opticalflow_tpu.config import (EngineConfig,
+                                                  SolverConfig,
+                                                  Tracker2DConfig)
+        from mcmtt_opticalflow_tpu.data import make_scenario
+        from mcmtt_opticalflow_tpu.models.pipeline import TrackingEngine
+
+        sc = make_scenario(num_cameras=2, num_frames=4, num_people=2,
+                           image_size=(256, 192), arena=2000.0, seed=9)
+        cfg = EngineConfig(
+            num_cameras=2, image_width=256, image_height=192,
+            tracker2d=Tracker2DConfig(max_detections=8, max_trackers=16,
+                                      max_features=16, lk_window=8),
+            solver=SolverConfig(num_replicas=2, max_vertices=32))
+        eng = TrackingEngine(cfg, sc.cameras)
+        assert eng._tiles_ok
+        rng = np.random.RandomState(0)
+        for t in range(4):
+            g = (np.clip(np.stack(sc.frames(t)), 0, 1) * 255).astype(
+                np.uint8).mean(-1).astype(np.uint8)
+            if t == 2:   # adversarial: change >50% of pixels
+                g = rng.randint(0, 255, g.shape).astype(np.uint8)
+            got = np.asarray(eng._upload_gray(g))
+            want = np.asarray(eng._dequant(g))
+            assert got.shape == want.shape
+            assert (got == want).all(), f"frame {t} mismatch"

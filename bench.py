@@ -68,8 +68,11 @@ def main():
         # replica, so convergence needs far fewer moves than the
         # reference's cold 2000-iteration budget; the recorded-graph
         # quality harness (tests/test_solver_quality.py) certifies
-        # brute-force-ratio >= 0.99 at this setting
-        solver=SolverConfig(num_replicas=8, max_vertices=256,
+        # brute-force-ratio >= 0.99 at this setting.  512 vertices: this
+        # scene peaks at ~350 live candidates — 256 rank-pruned >100
+        # tracks per frame out of the optimization (the reference carries
+        # up to 2000, Associator3D.cpp:23)
+        solver=SolverConfig(num_replicas=8, max_vertices=512,
                             max_iterations=150),
     )
     eng = TrackingEngine(cfg, sc.cameras, pipelined=True)
@@ -117,8 +120,10 @@ def main():
             r = eng.deferred_result(td)
             accs[w].set_result(td, [(i, p[0], p[1]) for i, p in
                                     zip(r.ids, r.points)])
-    quality = {f"mota_w{w}": round(accs[w].evaluate().mota, 4)
-               for w in windows}
+    evals = {w: accs[w].evaluate() for w in windows}
+    for w in windows:
+        print(f"w{w}: {evals[w].summary()}", file=sys.stderr)
+    quality = {f"mota_w{w}": round(evals[w].mota, 4) for w in windows}
 
     # median per-frame time is robust to residual bucket compiles mid-run
     fps = 1.0 / float(np.median(per_frame))

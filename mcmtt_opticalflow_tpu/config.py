@@ -120,6 +120,13 @@ class Associator3DConfig:
     sg_span: int = 9
     sg_degree: int = 1
 
+    # combination-enumeration ceiling (seeds): the reference enumerates
+    # EVERY gated combination with no cap (ref GenerateTrackletCombinations
+    # Associator3D.cpp:1283-1336); the distance gating keeps the true
+    # space small, so this only guards pathological frames.  Truncation
+    # is counted (Associator3D.seed_combos_truncated).
+    max_seed_combinations: int = 8192
+
     # branch-candidate budget per frame, spent in (-gt_prob, cost) order.
     # New this engine: the solver pool is capped at SolverConfig.
     # max_vertices anyway, so generating more candidates than can ever

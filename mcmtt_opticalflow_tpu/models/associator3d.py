@@ -171,6 +171,7 @@ class Associator3D:
         # silently truncated)
         self.pool_dropped_last = 0
         self.pool_dropped_total = 0
+        self.seed_combos_truncated = 0
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
         # when set to a list, every frame's hypothesis graph (weights,
         # adjacency, validity, warm starts) is appended to it — the
@@ -275,6 +276,12 @@ class Associator3D:
             pts = pts.astype(jnp.float32)
             raws = raws.astype(jnp.float32)
             merr = merr.astype(jnp.float32)
+            # `shared` arrives bit-packed ([nb, ceil(nb/8)] u8, np.packbits
+            # big-endian) — [nb, nb] bool is the second-largest upload
+            nb_ = tree_ids.shape[0]
+            bits = (shared[:, :, None] >> (7 - jnp.arange(8, dtype=jnp.uint8)
+                                           )[None, None, :]) & 1
+            shared = (bits.reshape(nb_, -1)[:, :nb_]).astype(bool)
             ws = score_track_windows(pts, raws, rmask, merr, lens, cams,
                                      acfg)
             # velocity never crosses back to the host: it is recomputed
@@ -292,7 +299,13 @@ class Associator3D:
             vmax = solver_cfg.max_vertices
             rm = jnp.clip(row_map, 0)
             has_row = row_map >= 0
-            wcost = jnp.where(has_row, ws.window_cost[rm], 0.0)
+            # tracks below the smoothing-length gate keep their host-side
+            # raw-point costs (the reference only REPLACES per-position
+            # costs once duration >= MIN_SMOOTHING_LENGTH, ref
+            # Associator3D.cpp:1475-1511): their host_base already carries
+            # the full cost, so the device window contribution must be 0
+            short_row = lens[rm] < (acfg.sg_span // 2)
+            wcost = jnp.where(has_row & ~short_row, ws.window_cost[rm], 0.0)
             wvalid = jnp.where(has_row, ws.valid[rm], True)
             weights = -(host_base + wcost)              # [vmax]
             # vertices need positive log-likelihood (the host-side
@@ -1025,6 +1038,7 @@ class Associator3D:
         cost_r = res.cost_recon
         cost_l = res.cost_link
         valid = res.valid
+        gate = self.acfg.sg_span // 2
         for i, tr in enumerate(tracks):
             ln = int(lens[i])
             s = int(starts[i])
@@ -1033,6 +1047,11 @@ class Associator3D:
                 continue
             tr.smoothed[s:] = smoothed[i, :ln]
             tr.velocity[s:] = velocity[i, :ln]
+            if ln < gate:
+                # below the smoothing-length gate the per-position costs
+                # keep their host raw-point values — the reference only
+                # replaces them once smoothing kicks in (ref :1475-1511)
+                continue
             tr.cost_recon_pos[s:] = cost_r[i, :ln]
             tr.invalidate_cost()
             if s > 0:
@@ -1093,7 +1112,11 @@ class Associator3D:
         combos: List[Tuple[int, ...]] = []
         maps = [np.ones(len(self.new_measurements[c]), bool)
                 for c in range(self.num_cams)]
-        self._generate_combinations(maps, [-1] * self.num_cams, 0, combos)
+        cap = self.acfg.max_seed_combinations
+        self._generate_combinations(maps, [-1] * self.num_cams, 0, combos,
+                                    cap=cap)
+        if len(combos) >= cap:
+            self.seed_combos_truncated += 1
         combos = [c for c in combos if any(t >= 0 for t in c)]
         seeds = []
         new_tracks = []
@@ -1295,36 +1318,37 @@ class Associator3D:
         last_meas = paused.points[paused.n_measured - 1]
         seed_pt = seed.points[0]
         reg = self.registry
-        tr = self._clone_track(paused, reg.alloc_track_id(), frame_idx,
-                               length=paused.n_measured)
-        # linear interpolation over the gap (ref :2104-2121), appended as
-        # ONE block — the per-position np.vstack loop this replaces
-        # reallocated the whole track history `gap` times per candidate
+        # build the branched arrays in ONE allocation each (clone of the
+        # measured prefix + interpolated gap + the seed position) — the
+        # clone-then-append formulation this replaces copied every array
+        # twice per candidate (ref interpolation loop :2104-2121)
+        ln = paused.n_measured
         c = self.num_cams
         delta = (seed_pt - last_meas) / gap
         pts = last_meas[None] + delta[None] * np.arange(1, gap + 1)[:, None]
         pts[-1] = seed_pt
-        vel = np.diff(np.vstack([tr.smoothed[-1:], pts]), axis=0)
-        raws = np.zeros((gap, c, 3))
-        raws[-1] = seed.raw_points[0]
-        rmask = np.zeros((gap, c), bool)
-        rmask[-1] = seed.raw_mask[0]
-        merr = np.zeros(gap)
-        merr[-1] = seed.max_error[0]
-        is_meas = np.zeros(gap, bool)
-        is_meas[-1] = True
-        cost_rec = np.zeros(gap)
-        cost_rec[-1] = seed.cost_recon_pos[0]
-        tr.points = np.vstack([tr.points, pts])
-        tr.smoothed = np.vstack([tr.smoothed, pts])
-        tr.velocity = np.vstack([tr.velocity, vel])
-        tr.raw_points = np.concatenate([tr.raw_points, raws], 0)
-        tr.raw_mask = np.concatenate([tr.raw_mask, rmask], 0)
-        tr.max_error = np.append(tr.max_error, merr)
-        tr.is_meas = np.append(tr.is_meas, is_meas)
-        tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
-        tr.cost_link_pos = np.append(tr.cost_link_pos, np.zeros(gap))
-        tr.invalidate_cost()
+        vel = np.diff(np.vstack([paused.smoothed[ln - 1:ln], pts]), axis=0)
+
+        def blk(prefix, tail_shape, last_val, dtype=None):
+            out = np.zeros((ln + gap,) + tail_shape,
+                           prefix.dtype if dtype is None else dtype)
+            out[:ln] = prefix[:ln]
+            if last_val is not None:
+                out[-1] = last_val
+            return out
+
+        tr = self._clone_track(paused, reg.alloc_track_id(), frame_idx,
+                               length=ln, share_arrays=True)
+        tr.points = np.concatenate([paused.points[:ln], pts], 0)
+        tr.smoothed = np.concatenate([paused.smoothed[:ln], pts], 0)
+        tr.velocity = np.concatenate([paused.velocity[:ln], vel], 0)
+        tr.raw_points = blk(paused.raw_points, (c, 3), seed.raw_points[0])
+        tr.raw_mask = blk(paused.raw_mask, (c,), seed.raw_mask[0])
+        tr.max_error = blk(paused.max_error, (), seed.max_error[0])
+        tr.is_meas = blk(paused.is_meas, (), True)
+        tr.cost_recon_pos = blk(paused.cost_recon_pos, (),
+                                seed.cost_recon_pos[0])
+        tr.cost_link_pos = blk(paused.cost_link_pos, (), None)
         tr.combination = seed.combination
         tr.time_end = seed.time_end
         tr.n_measured = tr.length
@@ -1333,8 +1357,17 @@ class Associator3D:
         return tr
 
     def _clone_track(self, src: Track, new_id: int, frame_idx: int,
-                     length: Optional[int] = None) -> Track:
+                     length: Optional[int] = None,
+                     share_arrays: bool = False) -> Track:
+        """share_arrays=True skips the per-position array copies — the
+        caller promises to REPLACE every per-position array before the
+        track is used (the temporal-branch constructor builds them in one
+        pass)."""
         ln = src.length if length is None else length
+
+        def cp(a):
+            return a if share_arrays else a[:ln].copy()
+
         tr = Track(
             id=new_id, tree_id=src.tree_id, parent=src.id,
             num_cams=src.num_cams, combination=src.combination,
@@ -1342,15 +1375,15 @@ class Associator3D:
             time_end=src.time_end, time_generation=frame_idx,
             tid_hist=[list(h) for h in src.tid_hist],
             n_measured=min(src.n_measured, ln),
-            points=src.points[:ln].copy(),
-            smoothed=src.smoothed[:ln].copy(),
-            velocity=src.velocity[:ln].copy(),
-            raw_points=src.raw_points[:ln].copy(),
-            raw_mask=src.raw_mask[:ln].copy(),
-            max_error=src.max_error[:ln].copy(),
-            is_meas=src.is_meas[:ln].copy(),
-            cost_recon_pos=src.cost_recon_pos[:ln].copy(),
-            cost_link_pos=src.cost_link_pos[:ln].copy(),
+            points=cp(src.points),
+            smoothed=cp(src.smoothed),
+            velocity=cp(src.velocity),
+            raw_points=cp(src.raw_points),
+            raw_mask=cp(src.raw_mask),
+            max_error=cp(src.max_error),
+            is_meas=cp(src.is_meas),
+            cost_recon_pos=cp(src.cost_recon_pos),
+            cost_link_pos=cp(src.cost_link_pos),
             cost_enter=src.cost_enter, cost_exit=0.0,
             cost_rgb=src.cost_rgb, gt_prob=src.gt_prob,
             last_t_end=src.last_t_end.copy(),
@@ -1560,11 +1593,12 @@ class Associator3D:
         row_of = {tr.id: i for i, tr in enumerate(rescore)}
         row_map = np.full((vmax,), -1, np.int32)
         host_base = np.zeros((vmax,), np.float32)
+        gate = self.acfg.sg_span // 2
         for i, t in enumerate(pool):
             tr = reg.tracks[t]
             r = row_of.get(t, -1)
             row_map[i] = r
-            if r >= 0:
+            if r >= 0 and int(lens[r]) >= gate:
                 s = int(starts[r])
                 hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
                       + float(tr.cost_recon_pos[:s].sum()))
@@ -1572,6 +1606,8 @@ class Associator3D:
                     hb += float(tr.cost_link_pos[:s + 1].sum())
                 host_base[i] = hb
             else:
+                # short tracks keep their host raw-point costs in full
+                # (the device adds no window cost for them)
                 host_base[i] = cost_of[t]
 
         # solve the frame's hypothesis graph in ONE device call: every
@@ -1598,7 +1634,8 @@ class Associator3D:
                 self._dev(merr.astype(np.float16), True),
                 self._dev(lens, True), self.cams,
                 self._dev(row_map), self._dev(host_base),
-                self._dev(tree_ids, True), self._dev(shared, True),
+                self._dev(tree_ids, True),
+                self._dev(np.packbits(shared, axis=1)),
                 self._dev(pos_grid.astype(np.float16), True),
                 self._dev(have, True),
                 self._dev(pvalid, True), self._dev(init_masks),
@@ -1653,7 +1690,9 @@ class Associator3D:
             vmax = self.cfg.solver.max_vertices
             rm = np.clip(row_map, 0, None)
             has_row = row_map >= 0
-            wcost = np.where(has_row, np.asarray(ws.window_cost)[rm], 0.0)
+            short_row = np.asarray(lens)[rm] < (self.acfg.sg_span // 2)
+            wcost = np.where(has_row & ~short_row,
+                             np.asarray(ws.window_cost)[rm], 0.0)
             wvalid = np.where(has_row, np.asarray(ws.valid)[rm], True)
             g_weights = -(host_base + wcost)
             vert_ok = wvalid & (g_weights > 0.0)

@@ -105,4 +105,7 @@ def load_snapshot(engine, path: str) -> int:
     a.num_frames_proc = s["num_frames_proc"]
     a.completed_frame = s.get("completed_frame", s["frame_idx"])
     a.solver_key = jnp.asarray(s["solver_key"])
+    # rebuild the GTProb reset list (transient; not serialised)
+    a._gt_prob_touched = [tid for tid, t in a.registry.tracks.items()
+                          if t.gt_prob != 0.0 or t.current_best]
     return engine.frame_idx

@@ -153,11 +153,13 @@ class SolverConfig:
     alpha_r: float = 0.8              # GraphSolver.cpp:545
     alpha_s: float = 0.8              # GraphSolver.cpp:544
     solutions_per_replica: int = 16   # local-optima ring buffer per replica
-    unroll: int = 8                   # BLS moves per while-loop trip: the
-    #                                   per-move compute is tiny, so device
-    #                                   wall-clock is trip latency — unroll
-    #                                   trades (cached) compile time for an
-    #                                   ~unroll-fold shorter loop carry
+    unroll: int = 1                   # BLS moves per while-loop trip.
+    #                                   Measured on v5e (scripts/
+    #                                   tpu_solver_prof2.py): the 150-move
+    #                                   solve is ~12 ms at unroll 1 AND 8 —
+    #                                   the loop is not latency-bound — so
+    #                                   the default avoids the ~8x bigger
+    #                                   loop body at compile time
     solve_batch: int = 16             # instances per vmapped solve_mwcp_batch
     #                                   call (microbench/ad-hoc batching; the
     #                                   engine's fused per-frame path instead

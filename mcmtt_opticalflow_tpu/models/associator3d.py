@@ -172,6 +172,7 @@ class Associator3D:
         self.pool_dropped_last = 0
         self.pool_dropped_total = 0
         self.seed_combos_truncated = 0
+        self._gt_prob_touched: List[int] = []
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
         # when set to a list, every frame's hypothesis graph (weights,
         # adjacency, validity, warm starts) is appended to it — the
@@ -184,6 +185,16 @@ class Associator3D:
         # window capacity for device scoring: covers re-smoothing reach
         self.win = max(2 * self.acfg.sg_span + 2,
                        self.acfg.proc_window_size + self.acfg.sg_span)
+        # re-scoring window: the longest tail whose smoothed values can
+        # change in one frame is a temporal branch's interpolated gap
+        # (<= max_time_jump) plus the smoother's half-span reach and the
+        # seam — everything earlier keeps its previous costs (the
+        # reference re-smooths from smoother.Insert's updateStartPos,
+        # ref Associator3D.cpp:1469-1473).  Smaller window = fewer f16
+        # bytes over the host->device link per frame.
+        self.win_rescore = min(
+            self.win,
+            self.acfg.max_time_jump + self.acfg.sg_span // 2 + 3)
 
         self._build_device_fns()
 
@@ -715,6 +726,7 @@ class Associator3D:
         bottoms = np.zeros(locs.shape[:2] + (2,))
         hists = np.zeros(locs.shape[:2] + (3 * self.acfg.num_rgb_bins,),
                          np.float32)
+        senss = np.zeros(locs.shape[:2])
         for c in range(self.num_cams):
             bx = boxes[c]
             bottom = np.stack([bx[:, 0] + np.ceil(bx[:, 2] / 2.0),
@@ -723,6 +735,11 @@ class Associator3D:
             locs[c] = self.host_cams[c].image_to_world(bottom, 0.0)
             tops[c] = self.host_cams[c].image_to_world(bottom, 2000.0)
             hists[c] = host_rgb_histogram(rgb[c], bx, self.acfg.num_rgb_bins)
+            m = self.sens_maps[c]
+            st = self.map_strides[c]
+            iu = np.clip(bottom[:, 0] / st, 0, m.shape[1] - 1).astype(int)
+            iv = np.clip(bottom[:, 1] / st, 0, m.shape[0] - 1).astype(int)
+            senss[c] = m[iv, iu]
 
         for c in range(self.num_cams):
             self.new_measurements[c] = []
@@ -732,27 +749,29 @@ class Associator3D:
                     continue
                 tid = int(ids[c, j])
                 seen.add(tid)
-                sens = self._sensitivity_at(c, bottoms[c, j])
+                sens = float(senss[c, j])
+                # row views of this frame's freshly allocated batch arrays
+                # — no defensive copies needed (nothing mutates them)
                 if tid in self.tracklets[c]:
                     tk = self.tracklets[c][tid]
                     tk.activated = True
-                    tk.box = boxes[c, j].copy()
-                    tk.loc3d = locs[c, j].copy()
-                    tk.bp_top = tops[c, j].copy()
-                    tk.bp_bottom = locs[c, j].copy()
+                    tk.box = boxes[c, j]
+                    tk.loc3d = locs[c, j]
+                    tk.bp_top = tops[c, j]
+                    tk.bp_bottom = locs[c, j]
                     tk.sensitivity = sens
-                    tk.rgb_tail = hists[c, j].copy()
+                    tk.rgb_tail = hists[c, j]
                     tk.time_end = frame_idx
                     tk.duration += 1
                     tk.assoc = {}
                 else:
                     tk = Tracklet(
                         id=tid, cam=c, time_start=frame_idx,
-                        time_end=frame_idx, box=boxes[c, j].copy(),
-                        loc3d=locs[c, j].copy(), bp_top=tops[c, j].copy(),
-                        bp_bottom=locs[c, j].copy(), sensitivity=sens,
-                        rgb_head=hists[c, j].copy(),
-                        rgb_tail=hists[c, j].copy())
+                        time_end=frame_idx, box=boxes[c, j],
+                        loc3d=locs[c, j], bp_top=tops[c, j],
+                        bp_bottom=locs[c, j], sensitivity=sens,
+                        rgb_head=hists[c, j],
+                        rgb_tail=hists[c, j])
                     self.tracklets[c][tid] = tk
                     self.active_tracklets[c].append(tid)
                     self.new_measurements[c].append(tid)
@@ -937,17 +956,19 @@ class Associator3D:
             and reg.tracks[tid].time_end + self.acfg.proc_window_size
             > frame_idx]
 
-        # tree upkeep (ref :1609-1659)
+        # tree upkeep (ref :1609-1659).  GTProb resets touch only the
+        # tracks the last solve scored (recorded at collect time) instead
+        # of sweeping the whole registry
+        for tid in self._gt_prob_touched:
+            t = reg.tracks.get(tid)
+            if t is not None:
+                t.branch_gt_prob = 0.0
+                t.gt_prob = 0.0
+                t.current_best = False
+        self._gt_prob_touched = []
         for tree in list(reg.trees.values()):
-            live = [tid for tid in tree.track_ids
-                    if tid in reg.tracks and reg.tracks[tid].valid]
-            for tid in tree.track_ids:
-                t = reg.tracks.get(tid)
-                if t is not None:
-                    t.branch_gt_prob = 0.0
-                    t.gt_prob = 0.0
-                    t.current_best = False
-            if not live:
+            if not any(tid in reg.tracks and reg.tracks[tid].valid
+                       for tid in tree.track_ids):
                 tree.valid = False
                 continue
             if (not tree.confirmed and tree.time_generation
@@ -964,22 +985,14 @@ class Associator3D:
 
     def _append_position(self, tr: Track, point, raws, rmask, max_err,
                          cost_rec, cost_link, is_meas, velocity=None):
-        tr.points = np.vstack([tr.points, point[None]])
-        tr.smoothed = np.vstack([tr.smoothed, point[None]])
-        v = (point - tr.smoothed[-2]) if velocity is None else velocity
-        tr.velocity = np.vstack([tr.velocity, v[None]])
-        tr.raw_points = np.concatenate([tr.raw_points, raws[None]], 0)
-        tr.raw_mask = np.concatenate([tr.raw_mask, rmask[None]], 0)
-        tr.max_error = np.append(tr.max_error, max_err)
-        tr.is_meas = np.append(tr.is_meas, is_meas)
-        tr.cost_recon_pos = np.append(tr.cost_recon_pos, cost_rec)
-        tr.cost_link_pos = np.append(tr.cost_link_pos, cost_link)
-        tr.invalidate_cost()
+        v = (point - tr.smoothed[-1]) if velocity is None else velocity
+        tr.append_position_row(point, point, v, raws, rmask, max_err,
+                               is_meas, cost_rec, cost_link)
 
     def _pack_windows(self, tracks: List[Track]):
         """Gather each track's scoring window into padded batch arrays
         (bucketed batch size — one compile per bucket)."""
-        w = self.win
+        w = self.win_rescore
         c = self.num_cams
         # floor the bucket at 64: the fused rescore+solve program compiles
         # once per (rescore bucket, graph bucket) pair, so coarse buckets
@@ -1478,58 +1491,55 @@ class Associator3D:
         pending = {tr.id for tr in rescore}
 
         self.timer.push("hyp.inputs")
-        # frame-scoped score cache + ONE global ordering: the carried
-        # hypotheses' related sets heavily overlap (they share the
-        # unconfirmed-track tail), so sorting each with a total_cost()
-        # key re-ran O(K * related * track_length) numpy sums per frame
-        # (cProfile: ~500k total_cost calls / 10 frames); sort once by
-        # (-gt_prob, cost), then order each set by the cached rank
+        # frame-scoped cost cache (memoized sums, one dict pass)
         cost_of = {tid: tr.total_cost() for tid, tr in reg.tracks.items()}
-        order_all = sorted(reg.tracks,
-                           key=lambda t: (-reg.tracks[t].gt_prob,
-                                          cost_of[t]))
-        rank = {tid: i for i, tid in enumerate(order_all)}
 
-        # update related sets (ref Hypothesis_UpdateHypotheses :2589-2652)
+        # update related sets (ref Hypothesis_UpdateHypotheses :2589-2652):
+        # every carried hypothesis's related set = its previous related
+        # plus new-track children; the sets only feed the UNION pool the
+        # single per-frame solve optimises over, so build that union in
+        # one pass instead of 30 sorted per-hypothesis lists (the
+        # per-hypothesis solve partitioning collapsed into one warm-
+        # started instance long ago)
         hyp_inputs: List[Hypothesis] = []
+        related_union: List[int] = []
+        seen_rel = set()
+
+        def add_rel(tid):
+            if tid not in seen_rel:
+                seen_rel.add(tid)
+                related_union.append(tid)
+
         for h in self.prev_hypotheses[:self.acfg.k_best_size]:
-            related = list(h.related)
             for tid in h.related:
+                add_rel(tid)
                 t = reg.tracks.get(tid)
                 if t is None:
                     continue
                 for ch in t.children:
                     cht = reg.tracks.get(ch)
                     if cht is not None and cht.new_track:
-                        related.append(ch)
-            related = sorted({t for t in related if t in rank},
-                             key=rank.__getitem__)[:
-                self.acfg.max_track_in_optimization]
-            related += [s for s in seeds if s in rank]
+                        add_rel(ch)
             hyp_inputs.append(Hypothesis(
-                selected=list(h.selected), related=related,
+                selected=list(h.selected), related=[],
                 log_likelihood=h.log_likelihood))
 
+        for s in seeds:
+            add_rel(s)
         if not hyp_inputs:
-            cand = [t for t in self.tracks_in_window if t in reg.tracks
-                    and reg.tracks[t].valid]
-            hyp_inputs = [Hypothesis(selected=[], related=cand,
+            related_union = [t for t in self.tracks_in_window]
+            hyp_inputs = [Hypothesis(selected=[], related=[],
                                      log_likelihood=0.0)]
 
-        # global candidate pool: union of all related tracks
+        # global candidate pool: the related union, filtered; tracks
+        # awaiting this frame's window re-scoring stay in (the device
+        # applies the loglik > 0 vertex filter to them after re-costing)
         pool: List[int] = []
-        seen = set()
-        for h in hyp_inputs:
-            for t in h.related:
-                if t not in seen and t in reg.tracks \
-                        and reg.tracks[t].valid:
-                    tr = reg.tracks[t]
-                    # tracks awaiting this frame's window re-scoring stay
-                    # in; the device applies the loglik > 0 vertex filter
-                    # to them after re-costing
-                    if t in pending or cost_of[t] < 0.0:
-                        seen.add(t)
-                        pool.append(t)
+        for t in related_union:
+            tr = reg.tracks.get(t)
+            if tr is not None and tr.valid \
+                    and (t in pending or cost_of[t] < 0.0):
+                pool.append(t)
         self.timer.pop()
         if not pool:
             self._rescore_tails(rescore)
@@ -1544,7 +1554,7 @@ class Associator3D:
             # the top-V by (-gt_prob, cost) — the same priority order the
             # reference's MAX_TRACK_IN_OPTIMIZATION cap applies
             # (ref Associator3D.cpp:23 + 2959-2994) — and count the drops
-            pool.sort(key=rank.__getitem__)
+            pool.sort(key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
             self.pool_dropped_last = len(pool) - vmax
             self.pool_dropped_total += self.pool_dropped_last
             pool = pool[:vmax]
@@ -1552,6 +1562,15 @@ class Associator3D:
             self.pool_dropped_last = 0
         pool_idx = {t: i for i, t in enumerate(pool)}
         n = len(pool)
+        # only pool members' graph weights need fresh window scores, and
+        # only their windows changed this frame matter — tracks outside
+        # the solver pool keep their host raw-point costs (they are the
+        # rank-pruned tail; the reference re-smooths everything because it
+        # can afford to on CPU, ref :1468-1516, but their smoothed state
+        # is never read before they are pruned or re-enter the pool).
+        # This caps the fat f16 window upload at the pool size instead of
+        # the full updated-track count.
+        rescore = [tr for tr in rescore if tr.id in pool_idx]
 
         # compatibility matrix on device (bucketed padding, one compile
         # per graph-size bucket); track windows land on a COMMON absolute
@@ -1727,10 +1746,12 @@ class Associator3D:
         # probabilities + GTProb (ref :2687-2704)
         total = sum(s for _, s in uniq)
         hyps = []
+        touched = self._gt_prob_touched
         for sel, s in uniq:
             prob = s / total if total > 0 else 0.0
             for t in sel:
                 reg.tracks[t].gt_prob += prob
+                touched.append(t)
             hyps.append(Hypothesis(selected=sorted(sel), related=pool,
                                    log_likelihood=s, probability=prob))
         self.prev_hypotheses = hyps
@@ -1766,7 +1787,14 @@ class Associator3D:
                     reg.set_branch_validity(ch, False)
 
         # GTP pruning (ref Hypothesis_PruningTrackWithGTP :2959-2994);
-        # one cost pass per frame, shared by both pruning sorts
+        # one cost pass per frame, shared by both pruning sorts.  The
+        # survivor cap is the reference's MAX_TRACK_IN_OPTIMIZATION
+        # tightened to twice the solver's graph capacity: tracks ranked
+        # below that can never enter a hypothesis (the pool applies the
+        # same (-gt_prob, cost) rank-prune), so keeping them only grows
+        # the per-frame host sweeps and the window-rescore upload batch
+        cap = min(acfg.max_track_in_optimization,
+                  2 * self.cfg.solver.max_vertices)
         cost_of = {tid: tr.total_cost() for tid, tr in reg.tracks.items()}
         ranked = sorted(
             [t for t in self.tracks_in_window if t in reg.tracks],
@@ -1779,7 +1807,7 @@ class Associator3D:
             tree = reg.trees.get(tr.tree_id)
             if tree is not None and not tree.confirmed:
                 continue
-            if kept < acfg.max_track_in_optimization and tr.gt_prob > 0.0:
+            if kept < cap and tr.gt_prob > 0.0:
                 kept += 1
                 continue
             tr.valid = False

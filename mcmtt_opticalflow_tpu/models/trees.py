@@ -90,6 +90,15 @@ class Track:
     # call invalidate_cost()
     _cost_cache: Optional[float] = dataclasses.field(
         default=None, repr=False, compare=False)
+    # capacity-doubling append storage: the public per-position fields are
+    # zero-copy VIEWS into these buffers, so the per-frame position append
+    # is O(1) amortized instead of 9 full-array reallocations per track
+    # per frame (the std::deque push_back of the reference's
+    # Track3D.reconstructions, PSNWhere_Types.h:381)
+    _cap: Optional[int] = dataclasses.field(
+        default=None, repr=False, compare=False)
+    _bufs: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False)
 
     @property
     def length(self) -> int:
@@ -100,6 +109,33 @@ class Track:
         return self.n_measured
 
     def invalidate_cost(self) -> None:
+        self._cost_cache = None
+
+    _POS_ARRAYS = ("points", "smoothed", "velocity", "raw_points",
+                   "raw_mask", "max_error", "is_meas", "cost_recon_pos",
+                   "cost_link_pos")
+
+    def invalidate_buffers(self) -> None:
+        """Call after assigning fresh per-position arrays wholesale."""
+        self._cap = None
+        self._bufs = {}
+
+    def append_position_row(self, *rows) -> None:
+        """Append one row to every per-position array (order of
+        _POS_ARRAYS), growing the backing buffers geometrically."""
+        n = self.length
+        if self._cap is None or self._cap < n + 1:
+            newcap = max(8, 2 * (n + 1))
+            for name in self._POS_ARRAYS:
+                cur = getattr(self, name)
+                buf = np.zeros((newcap,) + cur.shape[1:], cur.dtype)
+                buf[:n] = cur
+                self._bufs[name] = buf
+            self._cap = newcap
+        for name, val in zip(self._POS_ARRAYS, rows):
+            buf = self._bufs[name]
+            buf[n] = val
+            setattr(self, name, buf[:n + 1])
         self._cost_cache = None
 
     def total_cost(self) -> float:

@@ -25,7 +25,9 @@ PEAK_HBM = 819e9           # B/s
 
 
 def chained_time(make_step, n=8, reps=5):
-    """Median wall time of n chained dependent executions / n."""
+    """Median wall time of n back-to-back dependent executions / n: each
+    call consumes the previous output, so the device runs them serially
+    and the per-call tunnel overhead amortises."""
     import jax
     x = make_step(None)
     jax.block_until_ready(x)
@@ -97,17 +99,23 @@ def main():
         jnp.zeros((30, vmax), bool),
         jax.random.PRNGKey(0),
     )
+    print("compiling fused solve...", flush=True)
     lowered = assoc._rescore_and_solve.lower(*args, iters=150)
     cost_solve = lowered.compile().cost_analysis()
 
     def step_solve(prev):
-        # chain: perturb the weights by the previous K-best score
+        # dependent chain: perturb the weights by the previous K-best
+        # score so each dispatch must wait for the one before it
         a = list(args)
         if prev is not None:
             a[7] = a[7] + (prev[2][0] % 7).astype(jnp.float32) * 1e-6
         return assoc._rescore_and_solve(*a, iters=150)
 
-    t_solve = chained_time(step_solve)
+    t_solve = chained_time(step_solve, n=4, reps=3)
+    print(f"TPU v5e peaks: bf16 {PEAK_BF16/1e12:.0f} TF/s, "
+          f"f32 {PEAK_F32/1e12:.1f} TF/s, HBM {PEAK_HBM/1e9:.0f} GB/s",
+          flush=True)
+    rows = [report("rescore+compat+solve (V=256)", t_solve, cost_solve)]
 
     # ---- camera-batched 2D tracker step ------------------------------------
     step2d = make_tracker2d_step(cfg.tracker2d, multi_camera=True)
@@ -116,6 +124,7 @@ def main():
     gray = jnp.asarray(np.stack(sc.frames(0)).mean(-1).astype(np.float32))
     boxes = jnp.asarray(rng.rand(4, 48, 4).astype(np.float32) * 100)
     bmask = jnp.asarray(np.ones((4, 48), bool))
+    print("compiling 2D step...", flush=True)
     lowered2d = jax.jit(step2d).lower(state, gray, boxes, bmask, cams,
                                       jnp.int32(0))
     cost_2d = lowered2d.compile().cost_analysis()
@@ -128,15 +137,10 @@ def main():
         holder["state"] = s       # chained: state feeds the next call
         return out.boxes
 
-    t_2d = chained_time(step_2d)
-
-    print(f"TPU v5e peaks: bf16 {PEAK_BF16/1e12:.0f} TF/s, "
-          f"f32 {PEAK_F32/1e12:.1f} TF/s, HBM {PEAK_HBM/1e9:.0f} GB/s\n",
-          flush=True)
-    rows = [report("rescore+compat+solve (V=256)", t_solve, cost_solve),
-            report("2D tracker step (4 cams)", t_2d, cost_2d)]
+    t_2d = chained_time(step_2d, n=4, reps=3)
+    rows.append(report("2D tracker step (4 cams)", t_2d, cost_2d))
     import json
-    print(json.dumps(rows))
+    print(json.dumps(rows), flush=True)
 
 
 if __name__ == "__main__":

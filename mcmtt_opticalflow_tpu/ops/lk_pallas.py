@@ -247,12 +247,206 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
     return kernel
 
 
+def _make_kernel_batched(window: int, iters: int, ph: int, pw: int):
+    """Batch-vectorized variant: ONE Newton loop for all BATCH features.
+
+    The serial kernel above runs 8 independent while_loops back-to-back,
+    each blending one [w, w] window — the VPU sees a 16x16 tile at a time
+    and pays 8x the loop-carry latency.  Here the per-feature dynamic
+    window extraction is expressed as bilinear one-hot selection matrices
+    (R [w, ph] rows, C [pw, w] cols with the fractional weights folded
+    in), so a sample is two small MXU matmuls per feature and the Newton
+    state (dy, dx, converged) is a [BATCH, 1, 1] vector updated by one
+    shared while_loop with per-feature freeze masks.  No dynamic rolls,
+    no vector->scalar extraction, VMEM-block output — the Mosaic-safe
+    subset (see repo CLAUDE.md).
+
+    Reference behaviour (window LK with TermCriteria eps 0.03, ref
+    psn_where/PSNWhere_Tracker2D.cpp:145) is unchanged; parity with the
+    serial kernel and the XLA path is tested in interpret mode."""
+    w = window
+    half = (w - 1) / 2.0
+    lo = 1.0
+    hi_y = float(ph - w - 2)
+    hi_x = float(pw - w - 2)
+
+    def kernel(meta_ref, srcg_ref, prev_ref, next_ref, out_ref,
+               pprev, pnext, sem):
+        g = pl.program_id(0)
+        num = pl.num_programs(0)
+        slot = jax.lax.rem(g, 2)
+        nslot = jax.lax.rem(g + 1, 2)
+
+        def issue(prog, dst_slot):
+            for b in range(BATCH):
+                i = prog * BATCH + b
+
+                @pl.when(meta_ref[i, 5] > 0)
+                def _():
+                    y0p = pl.multiple_of(meta_ref[i, 1], 8)
+                    x0p = pl.multiple_of(meta_ref[i, 2], 128)
+                    y0n = pl.multiple_of(meta_ref[i, 3], 8)
+                    x0n = pl.multiple_of(meta_ref[i, 4], 128)
+                    pltpu.make_async_copy(
+                        prev_ref.at[meta_ref[i, 0], pl.ds(y0p, ph),
+                                    pl.ds(x0p, pw)],
+                        pprev.at[dst_slot, b], sem.at[dst_slot, 2 * b]).start()
+                    pltpu.make_async_copy(
+                        next_ref.at[meta_ref[i, 0], pl.ds(y0n, ph),
+                                    pl.ds(x0n, pw)],
+                        pnext.at[dst_slot, b],
+                        sem.at[dst_slot, 2 * b + 1]).start()
+
+        @pl.when(g == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(g + 1 < num)
+        def _():
+            issue(g + 1, nslot)
+
+        for b in range(BATCH):
+            i = g * BATCH + b
+
+            @pl.when(meta_ref[i, 5] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    prev_ref.at[0, pl.ds(0, ph), pl.ds(0, pw)],
+                    pprev.at[slot, b], sem.at[slot, 2 * b]).wait()
+                pltpu.make_async_copy(
+                    next_ref.at[0, pl.ds(0, ph), pl.ds(0, pw)],
+                    pnext.at[slot, b], sem.at[slot, 2 * b + 1]).wait()
+
+        bi = jax.lax.broadcasted_iota(jnp.int32, (BATCH, 1, 1), 0)
+
+        def vec(col_ref, col, cast=jnp.float32):
+            """Assemble [BATCH, 1, 1] from BATCH SMEM scalars."""
+            out = jnp.zeros((BATCH, 1, 1), cast)
+            for b in range(BATCH):
+                s = col_ref[g * BATCH + b, col]
+                out = out + jnp.where(bi == b, cast(s), cast(0))
+            return out
+
+        active_v = vec(meta_ref, 5, jnp.int32) > 0
+        sy = vec(srcg_ref, 0) - half
+        sx = vec(srcg_ref, 1) - half
+        gy0 = vec(srcg_ref, 2) - half
+        gx0 = vec(srcg_ref, 3) - half
+
+        def sel_rows(pos, frac, wh, extent):
+            """[BATCH, wh, extent] bilinear row-selection one-hots:
+            sel[b, r, k] = (1-frac_b)*[k == pos_b+r] + frac_b*[k == pos_b+r+1]."""
+            k = jax.lax.broadcasted_iota(jnp.int32, (BATCH, wh, extent), 2)
+            r = jax.lax.broadcasted_iota(jnp.int32, (BATCH, wh, extent), 1)
+            tgt = pos + r
+            return (jnp.where(k == tgt, 1.0 - frac, 0.0)
+                    + jnp.where(k == tgt + 1, frac, 0.0))
+
+        def sel_cols(pos, frac, wh, extent):
+            """Transposed variant, [BATCH, extent, wh] — built directly so
+            the kernel never transposes in-register."""
+            k = jax.lax.broadcasted_iota(jnp.int32, (BATCH, extent, wh), 1)
+            c = jax.lax.broadcasted_iota(jnp.int32, (BATCH, extent, wh), 2)
+            tgt = pos + c
+            return (jnp.where(k == tgt, 1.0 - frac, 0.0)
+                    + jnp.where(k == tgt + 1, frac, 0.0))
+
+        def sample(patch_ref, y, x, wh):
+            """Bilinear [wh, wh] window per feature at float origin (y, x)
+            of its patch (patch_ref(b) -> [ph, pw]); one-hot rows/cols
+            never index out of range (the callers clamp), so out-of-patch
+            taps contribute zero rather than the circular-wrap garbage of
+            the roll-based kernel."""
+            iy = jnp.floor(y).astype(jnp.int32)
+            ix = jnp.floor(x).astype(jnp.int32)
+            fy = y - iy.astype(jnp.float32)
+            fx = x - ix.astype(jnp.float32)
+            rsel = sel_rows(iy, fy, wh, ph)             # [B, wh, ph]
+            csel = sel_cols(ix, fx, wh, pw)             # [B, pw, wh]
+            outs = []
+            for b in range(BATCH):
+                tmp = jax.lax.dot(rsel[b], patch_ref(b),
+                                  preferred_element_type=jnp.float32)
+                win = jax.lax.dot(tmp, csel[b],
+                                  preferred_element_type=jnp.float32)
+                outs.append(win[None])
+            return jnp.concatenate(outs, axis=0)        # [B, wh, wh]
+
+        def rsum(x3):
+            """Reduce [B, m, n] -> [B, 1, 1] (two single-axis sums)."""
+            return jnp.sum(jnp.sum(x3, axis=2, keepdims=True),
+                           axis=1, keepdims=True)
+
+        pv3 = lambda b: pprev[slot, b]
+        nx3 = lambda b: pnext[slot, b]
+
+        src_ok = (sy >= lo) & (sy <= hi_y) & (sx >= lo) & (sx <= hi_x)
+        sy_c = jnp.clip(sy, lo, hi_y)
+        sx_c = jnp.clip(sx, lo, hi_x)
+        # (w+2)-window at (sy-1, sx-1): template + central-diff gradients
+        # in one sampling pass
+        ext = sample(pv3, sy_c - 1.0, sx_c - 1.0, w + 2)
+        t = ext[:, 1:w + 1, 1:w + 1]
+        gx_p = 0.5 * (ext[:, 1:w + 1, 2:w + 2] - ext[:, 1:w + 1, 0:w])
+        gy_p = 0.5 * (ext[:, 2:w + 2, 1:w + 1] - ext[:, 0:w, 1:w + 1])
+
+        gxx = rsum(gx_p * gx_p)
+        gxy = rsum(gx_p * gy_p)
+        gyy = rsum(gy_p * gy_p)
+        det = gxx * gyy - gxy * gxy
+        ok_g = det > 1e-7
+        inv_det = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det, 1.0), 0.0)
+
+        def warp(dy, dx):
+            dy_c = jnp.clip(dy, lo, hi_y)
+            dx_c = jnp.clip(dx, lo, hi_x)
+            return sample(nx3, dy_c, dx_c, w), dy_c, dx_c
+
+        # Python-unrolled Newton steps with per-feature freeze masks.
+        # Mosaic cannot yield the padded [BATCH, 1, 1] vector layouts a
+        # lax.while_loop carry would need ('scf.yield' legalization), and
+        # the per-iteration work here is a handful of vector ops + 16
+        # tiny matmuls — unrolling is cheaper than the loop would be.
+        # Converged features stop moving (go mask), matching the serial
+        # kernel's per-feature early exit bit-for-bit.
+        dy, dx, go = gy0, gx0, active_v
+        for _ in range(iters):
+            warped, dy_c, dx_c = warp(dy, dx)
+            diff = warped - t
+            bx = rsum(diff * gx_p)
+            by = rsum(diff * gy_p)
+            ux = -(gyy * bx - gxy * by) * inv_det
+            uy = -(-gxy * bx + gxx * by) * inv_det
+            dy = jnp.where(go, dy_c + uy, dy)
+            dx = jnp.where(go, dx_c + ux, dx)
+            go = go & ((jnp.abs(ux) + jnp.abs(uy)) > 0.03)
+        warped, dy_c, dx_c = warp(dy, dx)
+        resid = rsum(jnp.abs(warped - t)) * (1.0 / (w * w))
+
+        in_range = (dy >= lo) & (dy <= hi_y) & (dx >= lo) & (dx <= hi_x)
+        valid = ok_g & src_ok & in_range & active_v
+
+        def col(q):
+            return jnp.broadcast_to(
+                jnp.where(active_v, q, 0.0), (BATCH, 8, 1))
+
+        out_ref[:, :, :] = jnp.concatenate(
+            [col(dx_c + half), col(dy_c + half),
+             col(valid.astype(jnp.float32)), col(resid),
+             col(jnp.zeros((BATCH, 1, 1))), col(jnp.zeros((BATCH, 1, 1))),
+             col(jnp.zeros((BATCH, 1, 1))), col(jnp.zeros((BATCH, 1, 1)))],
+            axis=2)
+
+    return kernel
+
+
 # feature-chunk size: keeps the scalar-prefetch operands within SMEM
 # (SMEM scalars are padded heavily; 512 features x 12 scalars fits)
 CHUNK = 512
 
 
-@functools.partial(jax.jit, static_argnames=("window", "iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "iters", "interpret",
+                                             "variant"))
 def lk_level_pallas(prev: jnp.ndarray,
                     next_img: jnp.ndarray,
                     cam_idx: jnp.ndarray,
@@ -261,7 +455,8 @@ def lk_level_pallas(prev: jnp.ndarray,
                     active=None,
                     window: int = 16,
                     iters: int = 10,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    variant: str = "batched"):
     """Single-level LK for a flat feature batch over stacked cameras.
 
     Args:
@@ -303,11 +498,19 @@ def lk_level_pallas(prev: jnp.ndarray,
     srcg = jnp.stack([points[:, 1] - y0p, points[:, 0] - x0p,
                       guess[:, 1] - y0n, guess[:, 0] - x0n], -1)
 
-    kernel = _make_kernel(window, iters, ph, pw)
+    if variant == "batched":
+        kernel = _make_kernel_batched(window, iters, ph, pw)
+        out_spec = pl.BlockSpec((BATCH, 8, 8), lambda i, *_: (i, 0, 0))
+        out_sds = lambda m: jax.ShapeDtypeStruct((m, 8, 8), jnp.float32)
+    else:
+        kernel = _make_kernel(window, iters, ph, pw)
+        out_spec = pl.BlockSpec((BATCH, 8), lambda i, *_: (i, 0),
+                                memory_space=pltpu.SMEM)
+        out_sds = lambda m: jax.ShapeDtypeStruct((m, 8), jnp.float32)
 
     def call_chunk(meta_c, srcg_c):
         m = meta_c.shape[0]
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
@@ -316,18 +519,18 @@ def lk_level_pallas(prev: jnp.ndarray,
                     pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
-                out_specs=pl.BlockSpec((BATCH, 8), lambda i, *_: (i, 0),
-                                       memory_space=pltpu.SMEM),
+                out_specs=out_spec,
                 scratch_shapes=[
                     pltpu.VMEM((2, BATCH, ph, pw), jnp.float32),
                     pltpu.VMEM((2, BATCH, ph, pw), jnp.float32),
                     pltpu.SemaphoreType.DMA((2, 2 * BATCH)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((m, 8), jnp.float32),
+            out_shape=out_sds(m),
             interpret=interpret,
         )(meta_c, srcg_c, prev.astype(jnp.float32),
           next_img.astype(jnp.float32))
+        return out[:, 0, :] if variant == "batched" else out
 
     meta = meta.astype(jnp.int32)
     srcg = srcg.astype(jnp.float32)

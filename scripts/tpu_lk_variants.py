@@ -72,6 +72,36 @@ def main():
         pv, nx, ci, p, g, window=16, iters=8)))
     print(f"512 feats, bad guess (full iters):  {t:7.2f} ms")
 
+    # serial-vs-batched kernel comparison, measured as PURE DEVICE time:
+    # 50 data-dependent invocations chained inside one jitted lax.scan so
+    # the ~28 ms tunnel dispatch overhead amortises away (single calls of
+    # either variant are tunnel-bound and indistinguishable).
+    import functools
+
+    off = jnp.asarray(np.array([6.0, 5.0], np.float32))
+    K = 50
+
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def chain(p_, ci_, variant):
+        def body(cur, _):
+            tr, ok, _res = lk_level_pallas(pv, nx, ci_, p_, cur, window=16,
+                                           iters=8, variant=variant)
+            return jnp.clip(tr + off, 32.0, 500.0), ok
+        out, _ = jax.lax.scan(body, p_ + off, None, length=K)
+        return out
+
+    import time as _time
+    for variant in ("serial", "batched"):
+        jax.block_until_ready(chain(p, ci, variant))
+        ts = []
+        for _ in range(7):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(chain(p, ci, variant))
+            ts.append(_time.perf_counter() - t0)
+        med = float(np.median(ts))
+        print(f"{variant:7s} 512 feats, full iters, device-chained: "
+              f"{med*1e6/K:7.1f} us/call")
+
 
 if __name__ == "__main__":
     main()

@@ -33,8 +33,9 @@ def _scene(rng, h=64, w=256, shift=(2.3, -1.6)):
 
 
 class TestPallasKernelParity:
+    @pytest.mark.parametrize("variant", ["serial", "batched"])
     @pytest.mark.parametrize("shift", [(2.3, -1.6), (0.4, 0.9), (-3.1, 2.2)])
-    def test_matches_xla_path(self, shift):
+    def test_matches_xla_path(self, shift, variant):
         rng = np.random.RandomState(42)   # scene must not depend on
         #                                   which tests ran before
         prev, nxt = _scene(rng, shift=shift)
@@ -48,7 +49,8 @@ class TestPallasKernelParity:
         tr_p, ok_p, res_p = lk_level_pallas(
             jnp.asarray(prev)[None], jnp.asarray(nxt)[None],
             jnp.zeros(n, jnp.int32), jnp.asarray(pts), jnp.asarray(pts),
-            active=jnp.asarray(act), window=16, iters=8, interpret=True)
+            active=jnp.asarray(act), window=16, iters=8, interpret=True,
+            variant=variant)
 
         gx, gy = image_gradients(jnp.asarray(prev))
         tr_x, ok_x, res_x = lk_track_points(

@@ -43,6 +43,7 @@ from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
 _MAP_STRIDE = 4
 
 from scipy.special import erfc as _erfc  # noqa: E402  (host scalar math)
+from scipy.special import erfcinv as _erfcinv  # noqa: E402
 
 
 def _bucket(n: int, lo: int = 8) -> int:
@@ -689,7 +690,7 @@ class Associator3D:
             return prev
         with t.stage("assoc.prune"):
             self._prune(frame_idx)
-            self.registry.gc()
+            self.registry.gc(frame_idx - self.acfg.proc_window_size)
         self.completed_frame = frame_idx
         return self._package_result(frame_idx)
 
@@ -707,7 +708,7 @@ class Associator3D:
             self._collect_solve(p)
         with self.timer.stage("assoc.prune"):
             self._prune(p["frame_idx"])
-            self.registry.gc()
+            self.registry.gc(p["frame_idx"] - self.acfg.proc_window_size)
         self.completed_frame = p["frame_idx"]
         return self._package_result(p["frame_idx"])
 
@@ -1133,14 +1134,38 @@ class Associator3D:
         combos = [c for c in combos if any(t >= 0 for t in c)]
         seeds = []
         new_tracks = []
-        for combo, rec in zip(combos, self._reconstruct_batch(combos)):
-            if rec is None:
-                continue
-            point, raws, rmask, max_err, cost_rec = rec
-            tr = self._new_track_from_seed(frame_idx, combo, point, raws,
-                                           rmask, max_err, cost_rec)
-            new_tracks.append(tr)
-            seeds.append(tr.id)
+        oks = [(combo, rec) for combo, rec
+               in zip(combos, self._reconstruct_batch(combos))
+               if rec is not None]
+        if oks:
+            # one stacked allocation per field for the whole seed batch;
+            # each Track gets disjoint row VIEWS (appends re-buffer via
+            # append_position_row, so views are never resized in place).
+            # At 22-person density this is ~800 seeds/frame — per-seed
+            # allocation of 16 tiny arrays dominated the stage
+            n = len(oks)
+            c = self.num_cams
+            b_pts = np.stack([r[0] for _, r in oks])[:, None].astype(
+                np.float64)                                   # [N,1,3]
+            b_smo = b_pts.copy()
+            b_vel = np.zeros((n, 1, 3))
+            b_raw = np.stack([r[1] for _, r in oks])[:, None]  # [N,1,C,3]
+            b_rm = np.stack([r[2] for _, r in oks])[:, None]   # [N,1,C]
+            b_me = np.asarray([[r[3]] for _, r in oks])        # [N,1]
+            b_im = np.ones((n, 1), bool)
+            b_cr = np.asarray([[r[4]] for _, r in oks])
+            b_cl = np.zeros((n, 1))
+            b_lte = np.zeros((n, c), np.int64)
+            b_ltl = np.zeros((n, c, 3))
+            b_ls = np.zeros((n, c))
+            b_lr = np.zeros((n, c, 48))
+            for i, (combo, _) in enumerate(oks):
+                tr = self._new_track_from_seed(
+                    frame_idx, combo, b_pts[i], b_smo[i], b_vel[i],
+                    b_raw[i], b_rm[i], b_me[i], b_im[i], b_cr[i], b_cl[i],
+                    b_lte[i], b_ltl[i], b_ls[i], b_lr[i])
+                new_tracks.append(tr)
+                seeds.append(tr.id)
         if new_tracks:
             # one batched boundary-map pass for every seed's enter cost
             pb = np.stack([tr.last_t_loc for tr in new_tracks])
@@ -1152,29 +1177,27 @@ class Associator3D:
                 tr.invalidate_cost()
         return seeds
 
-    def _new_track_from_seed(self, frame_idx, combo, point, raws, rmask,
-                             max_err, cost_rec) -> Track:
+    def _new_track_from_seed(self, frame_idx, combo, points, smoothed,
+                             velocity, raws, rmask, max_err, is_meas,
+                             cost_rec, cost_link, last_t_end, last_t_loc,
+                             last_sens, last_rgb) -> Track:
+        """Array arguments are row views into the caller's batched seed
+        allocations (disjoint rows; in-place writes never alias)."""
         reg = self.registry
-        c = self.num_cams
         tree = reg.new_tree(frame_idx)
         tr = Track(
             id=reg.alloc_track_id(), tree_id=tree.id, parent=None,
-            num_cams=c, combination=tuple(combo), time_start=frame_idx,
+            num_cams=self.num_cams, combination=tuple(combo),
+            time_start=frame_idx,
             time_end=frame_idx, time_generation=frame_idx,
             tid_hist=[[t] if t >= 0 else [] for t in combo],
             n_measured=1,
-            points=point[None].astype(np.float64),
-            smoothed=point[None].astype(np.float64),
-            velocity=np.zeros((1, 3)),
-            raw_points=raws[None], raw_mask=rmask[None],
-            max_error=np.asarray([max_err]),
-            is_meas=np.asarray([True]),
-            cost_recon_pos=np.asarray([cost_rec]),
-            cost_link_pos=np.zeros(1),
-            last_t_end=np.zeros(c, np.int64),
-            last_t_loc=np.zeros((c, 3)),
-            last_sens=np.zeros(c), last_rgb=np.zeros((c, 48)))
-        pts = []
+            points=points, smoothed=smoothed, velocity=velocity,
+            raw_points=raws, raw_mask=rmask,
+            max_error=max_err, is_meas=is_meas,
+            cost_recon_pos=cost_rec, cost_link_pos=cost_link,
+            last_t_end=last_t_end, last_t_loc=last_t_loc,
+            last_sens=last_sens, last_rgb=last_rgb)
         for ci, t2 in enumerate(combo):
             if t2 < 0:
                 continue
@@ -1183,7 +1206,6 @@ class Associator3D:
             tr.last_t_loc[ci] = tk.loc3d
             tr.last_sens[ci] = tk.sensitivity
             tr.last_rgb[ci] = tk.rgb_tail
-            pts.append(tk.loc3d)
         # cost_enter assigned by the caller's batched pass
         reg.add_track(tr)
         self.active_tracks.append(tr.id)
@@ -1261,18 +1283,28 @@ class Associator3D:
                          key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
         seed_trs = [reg.tracks[sid] for sid in seeds if sid in reg.tracks]
         if order_p and seed_trs:
-            # one vectorised erfc over ALL (paused, seed) pairs instead of
-            # a scipy scalar per pair (the pair count is paused x seeds)
+            # the pair gate only needs a THRESHOLD, not the probability:
+            # p = 0.5*erfc(4d/(ms*g) - 2) >= pmin  <=>
+            # d <= ms*g*(2 + erfcinv(2*pmin))/4  (erfc is monotone
+            # decreasing), so the paused x seeds sweep is one squared-
+            # distance matrix (Gram-trick matmul) against a per-gap
+            # radius — no erfc/norm over the full cross product (that
+            # erfc pass was ~60% of the branch stage at 22-person load)
             paused_trs = [reg.tracks[t] for t in order_p]
             last_pts = np.stack([t.points[t.n_measured - 1]
                                  for t in paused_trs])
             seed_pts = np.stack([s.points[0] for s in seed_trs])
             gaps = (np.asarray([s.time_start for s in seed_trs])[None, :]
                     - np.asarray([t.time_end for t in paused_trs])[:, None])
-            p_pair = _link_prob_batch(last_pts[:, None], seed_pts[None, :],
-                                      gaps, self.acfg.max_moving_speed)
+            d2 = ((last_pts * last_pts).sum(1)[:, None]
+                  + (seed_pts * seed_pts).sum(1)[None, :]
+                  - 2.0 * (last_pts @ seed_pts.T))
+            radius = (self.acfg.max_moving_speed
+                      * np.maximum(gaps, 1)
+                      * (2.0 + _erfcinv(
+                          2.0 * self.acfg.min_linking_probability)) / 4.0)
             feasible = ((gaps >= 1) & (gaps <= self.acfg.max_time_jump)
-                        & (p_pair >= self.acfg.min_linking_probability))
+                        & (d2 <= radius * radius))
             budget = self.acfg.max_branches_per_frame
             for pi, tr in enumerate(paused_trs):
                 if len(candidates) >= budget:
@@ -1510,9 +1542,17 @@ class Associator3D:
                 seen_rel.add(tid)
                 related_union.append(tid)
 
+        # the hypotheses' related lists share their unconfirmed tail
+        # (set in _prune), so scan each track's children only on its
+        # FIRST occurrence — later occurrences' child add_rels are
+        # no-ops anyway (already in seen_rel), making this exact
+        scanned = set()
         for h in self.prev_hypotheses[:self.acfg.k_best_size]:
             for tid in h.related:
                 add_rel(tid)
+                if tid in scanned:
+                    continue
+                scanned.add(tid)
                 t = reg.tracks.get(tid)
                 if t is None:
                     continue
@@ -1795,7 +1835,15 @@ class Associator3D:
         # the per-frame host sweeps and the window-rescore upload batch
         cap = min(acfg.max_track_in_optimization,
                   2 * self.cfg.solver.max_vertices)
-        cost_of = {tid: tr.total_cost() for tid, tr in reg.tracks.items()}
+        # cost only for the tracks the two pruning sorts actually rank
+        # (window + unconfirmed-tree members) — the registry also holds
+        # invalid ancestors kept for the N-scan walk, which never sort
+        need = set(self.tracks_in_window)
+        for tree in reg.trees.values():
+            if tree.valid and not tree.confirmed:
+                need.update(tree.track_ids)
+        cost_of = {tid: reg.tracks[tid].total_cost()
+                   for tid in need if tid in reg.tracks}
         ranked = sorted(
             [t for t in self.tracks_in_window if t in reg.tracks],
             key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))

@@ -225,14 +225,20 @@ class TrackRegistry:
         self.next_track_id += 1
         return tid
 
-    def gc(self) -> None:
+    def gc(self, horizon: Optional[int] = None) -> None:
         """Delete every invalid track except ancestors of valid tracks
         (the N-scan-back walk climbs parent chains, so a valid track's
         lineage must survive); drop empty trees.  The reference frees
         invalid tracks every frame (ref Associator3D.cpp:1694-1714 +
         1609-1641) — only collecting them when their whole tree died
         leaks thousands of Track objects per PETS-scale run and every
-        per-frame registry sweep slows with it."""
+        per-frame registry sweep slows with it.
+
+        horizon: the N-scan pruning time (frame_idx - proc_window_size).
+        The climb (oldest_track_in_branch) stops at the first ancestor
+        generated at/before it and reads only that node's parent link +
+        children, so deeper ancestors are unreachable — at 22-person
+        density uncapped chains held ~7000 dead ancestors by frame 30."""
         keep = set()
         for tid, t in self.tracks.items():
             if not t.valid:
@@ -241,7 +247,15 @@ class TrackRegistry:
             while cur is not None and cur not in keep:
                 keep.add(cur)
                 tr = self.tracks.get(cur)
-                cur = tr.parent if tr is not None else None
+                if tr is None:
+                    break
+                if horizon is not None and tr.time_generation <= horizon:
+                    # climb stops here; the prune step still reads this
+                    # node's parent (seed.parent + its children list)
+                    if tr.parent is not None:
+                        keep.add(tr.parent)
+                    break
+                cur = tr.parent
         if len(keep) != len(self.tracks):
             self.tracks = {tid: self.tracks[tid] for tid in sorted(keep)}
             for t in self.tracks.values():

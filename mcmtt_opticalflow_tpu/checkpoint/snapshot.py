@@ -68,6 +68,9 @@ def save_snapshot(engine, path: str) -> None:
             "num_frames_proc": a.num_frames_proc,
             "completed_frame": a.completed_frame,
             "solver_key": np.asarray(a.solver_key),
+            # visualization id map (ref saves it too, :3735-3744)
+            "vis_id_map": a.vis_id_map,
+            "vis_free": a.vis_free,
         },
     }
     with open(path, "wb") as f:
@@ -105,6 +108,8 @@ def load_snapshot(engine, path: str) -> int:
     a.num_frames_proc = s["num_frames_proc"]
     a.completed_frame = s.get("completed_frame", s["frame_idx"])
     a.solver_key = jnp.asarray(s["solver_key"])
+    a.vis_id_map = s.get("vis_id_map", {})
+    a.vis_free = s.get("vis_free", [])
     # rebuild the GTProb reset list (transient; not serialised)
     a._gt_prob_touched = [tid for tid, t in a.registry.tracks.items()
                           if t.gt_prob != 0.0 or t.current_best]

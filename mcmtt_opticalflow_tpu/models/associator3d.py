@@ -91,6 +91,15 @@ class Track3DResult:
     track_ids: List[int]
     points: np.ndarray                # [K, 3] smoothed positions
     processing_time: float = 0.0
+    # visualization payload (ref stObject3DInfo, PSNWhere_Types.h:222-227
+    # + ResultWithTracks, Associator3D.cpp:3058-3168): small reusable
+    # display ids and each object's recent trajectory, in 3D and
+    # reprojected into every camera
+    vis_ids: List[int] = dataclasses.field(default_factory=list)
+    recent_points: List[np.ndarray] = dataclasses.field(
+        default_factory=list)         # per object [T, 3] (newest last)
+    recent_proj: List[np.ndarray] = dataclasses.field(
+        default_factory=list)         # per object [C, T, 2] image coords
 
 
 class Associator3D:
@@ -173,6 +182,10 @@ class Associator3D:
         self.pool_dropped_last = 0
         self.pool_dropped_total = 0
         self.seed_combos_truncated = 0
+        # tree-id -> display id map + free list (ref queuePairTreeIDToVisualizationID,
+        # Associator3D.cpp:3077-3100)
+        self.vis_id_map: Dict[int, int] = {}
+        self.vis_free: List[int] = []
         self._gt_prob_touched: List[int] = []
         self.solver_key = jax.random.PRNGKey(cfg.solver.seed)
         # when set to a list, every frame's hypothesis graph (weights,
@@ -1145,16 +1158,24 @@ class Associator3D:
             # allocation of 16 tiny arrays dominated the stage
             n = len(oks)
             c = self.num_cams
-            b_pts = np.stack([r[0] for _, r in oks])[:, None].astype(
-                np.float64)                                   # [N,1,3]
+            cap = 8  # append capacity prepaid: a surviving seed appends
+            #          one position/frame, so its first appends would
+            #          otherwise re-buffer all 9 per-position arrays
+            b_pts = np.zeros((n, cap, 3))
+            b_pts[:, 0] = np.stack([r[0] for _, r in oks])
             b_smo = b_pts.copy()
-            b_vel = np.zeros((n, 1, 3))
-            b_raw = np.stack([r[1] for _, r in oks])[:, None]  # [N,1,C,3]
-            b_rm = np.stack([r[2] for _, r in oks])[:, None]   # [N,1,C]
-            b_me = np.asarray([[r[3]] for _, r in oks])        # [N,1]
-            b_im = np.ones((n, 1), bool)
-            b_cr = np.asarray([[r[4]] for _, r in oks])
-            b_cl = np.zeros((n, 1))
+            b_vel = np.zeros((n, cap, 3))
+            b_raw = np.zeros((n, cap, c, 3))
+            b_raw[:, 0] = np.stack([r[1] for _, r in oks])
+            b_rm = np.zeros((n, cap, c), bool)
+            b_rm[:, 0] = np.stack([r[2] for _, r in oks])
+            b_me = np.zeros((n, cap))
+            b_me[:, 0] = [r[3] for _, r in oks]
+            b_im = np.zeros((n, cap), bool)
+            b_im[:, 0] = True
+            b_cr = np.zeros((n, cap))
+            b_cr[:, 0] = [r[4] for _, r in oks]
+            b_cl = np.zeros((n, cap))
             b_lte = np.zeros((n, c), np.int64)
             b_ltl = np.zeros((n, c, 3))
             b_ls = np.zeros((n, c))
@@ -1163,7 +1184,7 @@ class Associator3D:
                 tr = self._new_track_from_seed(
                     frame_idx, combo, b_pts[i], b_smo[i], b_vel[i],
                     b_raw[i], b_rm[i], b_me[i], b_im[i], b_cr[i], b_cl[i],
-                    b_lte[i], b_ltl[i], b_ls[i], b_lr[i])
+                    b_lte[i], b_ltl[i], b_ls[i], b_lr[i], cap)
                 new_tracks.append(tr)
                 seeds.append(tr.id)
         if new_tracks:
@@ -1180,9 +1201,10 @@ class Associator3D:
     def _new_track_from_seed(self, frame_idx, combo, points, smoothed,
                              velocity, raws, rmask, max_err, is_meas,
                              cost_rec, cost_link, last_t_end, last_t_loc,
-                             last_sens, last_rgb) -> Track:
-        """Array arguments are row views into the caller's batched seed
-        allocations (disjoint rows; in-place writes never alias)."""
+                             last_sens, last_rgb, cap) -> Track:
+        """Array arguments are [cap, ...] row views into the caller's
+        batched seed allocations (disjoint rows; in-place writes never
+        alias); they double as the track's append buffers."""
         reg = self.registry
         tree = reg.new_tree(frame_idx)
         tr = Track(
@@ -1192,12 +1214,17 @@ class Associator3D:
             time_end=frame_idx, time_generation=frame_idx,
             tid_hist=[[t] if t >= 0 else [] for t in combo],
             n_measured=1,
-            points=points, smoothed=smoothed, velocity=velocity,
-            raw_points=raws, raw_mask=rmask,
-            max_error=max_err, is_meas=is_meas,
-            cost_recon_pos=cost_rec, cost_link_pos=cost_link,
+            points=points[:1], smoothed=smoothed[:1],
+            velocity=velocity[:1],
+            raw_points=raws[:1], raw_mask=rmask[:1],
+            max_error=max_err[:1], is_meas=is_meas[:1],
+            cost_recon_pos=cost_rec[:1], cost_link_pos=cost_link[:1],
             last_t_end=last_t_end, last_t_loc=last_t_loc,
             last_sens=last_sens, last_rgb=last_rgb)
+        tr._cap = cap
+        tr._bufs = dict(zip(Track._POS_ARRAYS,
+                            (points, smoothed, velocity, raws, rmask,
+                             max_err, is_meas, cost_rec, cost_link)))
         for ci, t2 in enumerate(combo):
             if t2 < 0:
                 continue
@@ -1291,33 +1318,41 @@ class Associator3D:
             # radius — no erfc/norm over the full cross product (that
             # erfc pass was ~60% of the branch stage at 22-person load)
             paused_trs = [reg.tracks[t] for t in order_p]
-            last_pts = np.stack([t.points[t.n_measured - 1]
-                                 for t in paused_trs])
-            seed_pts = np.stack([s.points[0] for s in seed_trs])
-            gaps = (np.asarray([s.time_start for s in seed_trs])[None, :]
-                    - np.asarray([t.time_end for t in paused_trs])[:, None])
-            d2 = ((last_pts * last_pts).sum(1)[:, None]
-                  + (seed_pts * seed_pts).sum(1)[None, :]
-                  - 2.0 * (last_pts @ seed_pts.T))
-            radius = (self.acfg.max_moving_speed
-                      * np.maximum(gaps, 1)
-                      * (2.0 + _erfcinv(
-                          2.0 * self.acfg.min_linking_probability)) / 4.0)
-            feasible = ((gaps >= 1) & (gaps <= self.acfg.max_time_jump)
-                        & (d2 <= radius * radius))
+            # every seed is born THIS frame (time_start == frame_idx), so
+            # the time gap — and with it the link-probability radius — is
+            # constant per paused row; rows with an infeasible gap never
+            # touch the distance sweep at all
+            gap_row = frame_idx - np.asarray(
+                [t.time_end for t in paused_trs])
+            row_ok = (gap_row >= 1) & (gap_row <= self.acfg.max_time_jump)
             budget = self.acfg.max_branches_per_frame
-            for pi, tr in enumerate(paused_trs):
-                if len(candidates) >= budget:
-                    break
-                for si, seed in enumerate(seed_trs):
+            if row_ok.any():
+                rows = np.flatnonzero(row_ok)
+                last_pts = np.stack([paused_trs[pi].points
+                                     [paused_trs[pi].n_measured - 1]
+                                     for pi in rows])
+                seed_pts = np.stack([s.points[0] for s in seed_trs])
+                d2 = ((last_pts * last_pts).sum(1)[:, None]
+                      + (seed_pts * seed_pts).sum(1)[None, :]
+                      - 2.0 * (last_pts @ seed_pts.T))
+                r = (self.acfg.max_moving_speed * gap_row[rows]
+                     * (2.0 + _erfcinv(
+                         2.0 * self.acfg.min_linking_probability)) / 4.0)
+                ok = d2 <= (r * r)[:, None]
+                # row-major scan with the budget break of the original
+                # nested loop (argwhere-style full materialisation paid
+                # ~90 ms/frame when most pairs were feasible)
+                for k, pi in enumerate(rows):
                     if len(candidates) >= budget:
                         break
-                    if not feasible[pi, si]:
-                        continue
-                    cand = self._make_temporal_branch(
-                        frame_idx, tr, seed, int(gaps[pi, si]))
-                    if cand is not None:
-                        candidates.append(cand)
+                    g = int(gap_row[pi])
+                    for si in np.flatnonzero(ok[k]):
+                        if len(candidates) >= budget:
+                            break
+                        cand = self._make_temporal_branch(
+                            frame_idx, paused_trs[pi], seed_trs[si], g)
+                        if cand is not None:
+                            candidates.append(cand)
 
         self.timer.pop()
         # The batched smoothing/scoring of this frame's updated tracks
@@ -1537,35 +1572,35 @@ class Associator3D:
         related_union: List[int] = []
         seen_rel = set()
 
-        def add_rel(tid):
-            if tid not in seen_rel:
-                seen_rel.add(tid)
-                related_union.append(tid)
-
-        # the hypotheses' related lists share their unconfirmed tail
-        # (set in _prune), so scan each track's children only on its
-        # FIRST occurrence — later occurrences' child add_rels are
-        # no-ops anyway (already in seen_rel), making this exact
-        scanned = set()
+        # the K hypotheses' related lists share their unconfirmed tail
+        # (set in _prune), so the inline dup-skip below fires for ~29/30
+        # of the iterations; skipping the whole body on a dup is exact —
+        # a dup's children pass adds nothing (a track first seen as a
+        # CHILD is a this-frame track with no children of its own yet)
         for h in self.prev_hypotheses[:self.acfg.k_best_size]:
             for tid in h.related:
-                add_rel(tid)
-                if tid in scanned:
+                if tid in seen_rel:
                     continue
-                scanned.add(tid)
+                seen_rel.add(tid)
+                related_union.append(tid)
                 t = reg.tracks.get(tid)
                 if t is None:
                     continue
                 for ch in t.children:
+                    if ch in seen_rel:
+                        continue
                     cht = reg.tracks.get(ch)
                     if cht is not None and cht.new_track:
-                        add_rel(ch)
+                        seen_rel.add(ch)
+                        related_union.append(ch)
             hyp_inputs.append(Hypothesis(
                 selected=list(h.selected), related=[],
                 log_likelihood=h.log_likelihood))
 
         for s in seeds:
-            add_rel(s)
+            if s not in seen_rel:
+                seen_rel.add(s)
+                related_union.append(s)
         if not hyp_inputs:
             related_union = [t for t in self.tracks_in_window]
             hyp_inputs = [Hypothesis(selected=[], related=[],
@@ -1896,7 +1931,7 @@ class Associator3D:
     # ------------------------------------------------------------------
     def _package_result(self, frame_idx) -> Track3DResult:
         reg = self.registry
-        ids, tids, pts = [], [], []
+        ids, tids, pts, recents = [], [], [], []
         for tid in self.best_solution:
             tr = reg.tracks.get(tid)
             if tr is None or tr.time_start + tr.length - 1 < frame_idx:
@@ -1907,9 +1942,44 @@ class Associator3D:
             ids.append(tr.tree_id)
             tids.append(tr.id)
             pts.append(p)
+            # recent smoothed trajectory up to this frame (ref
+            # ResultWithTracks fills numPoint recent points, :3104-3130)
+            e = frame_idx - tr.time_start + 1
+            s = max(0, e - self.acfg.proc_window_size)
+            recents.append(tr.smoothed[s:e])
+        # tree-id -> reusable small display id (ref treeID/visID pairing,
+        # :3077-3100): keep an id while its tree stays in the result,
+        # recycle the smallest free one for newcomers
+        for gone in [t for t in self.vis_id_map if t not in ids]:
+            self.vis_free.append(self.vis_id_map.pop(gone))
+        self.vis_free.sort(reverse=True)
+        vis_ids = []
+        for tree_id in ids:
+            v = self.vis_id_map.get(tree_id)
+            if v is None:
+                v = (self.vis_free.pop() if self.vis_free
+                     else len(self.vis_id_map))
+                self.vis_id_map[tree_id] = v
+            vis_ids.append(v)
+        # reproject every object's recent trajectory into every camera
+        # in ONE batched host pass per camera (ref :3131-3165 loops
+        # per point per camera)
+        recent_proj: List[np.ndarray] = []
+        if recents:
+            lens = [len(r) for r in recents]
+            flat = (np.concatenate(recents, 0) if lens else
+                    np.zeros((0, 3)))
+            proj = np.stack([hc.world_to_image(flat)
+                             for hc in self.host_cams])   # [C, sum, 2]
+            o = 0
+            for ln in lens:
+                recent_proj.append(proj[:, o:o + ln])
+                o += ln
         return Track3DResult(
             frame_idx=frame_idx, ids=ids, track_ids=tids,
-            points=np.asarray(pts).reshape(-1, 3))
+            points=np.asarray(pts).reshape(-1, 3),
+            vis_ids=vis_ids, recent_points=recents,
+            recent_proj=recent_proj)
 
     def result_at(self, frame_idx: int) -> Track3DResult:
         """Deferred-output result: current best tracks evaluated at an

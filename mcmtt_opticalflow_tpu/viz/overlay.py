@@ -80,6 +80,26 @@ def draw_overlay(frame: np.ndarray, boxes, ids,
     return out
 
 
+def draw_result_trajectories(frame: np.ndarray, result, cam_idx: int,
+                             colors: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
+    """Overlay one camera view with every tracked object's recent
+    trajectory reprojection, coloured by its reusable visualization id
+    (ref CPSNWhere::Visualize 3D-track pass, PSNWhere.cpp:301-477 +
+    the recentPoint2Ds payload filled by ResultWithTracks,
+    Associator3D.cpp:3131-3165).  `result` is a Track3DResult."""
+    out = np.asarray(frame).copy()
+    if colors is None:
+        colors = generate_colors(256)
+    vis = result.vis_ids or result.ids
+    for obj, v in zip(result.recent_proj, vis):
+        col = colors[int(v) % len(colors)]
+        traj = obj[cam_idx]
+        for a, b in zip(traj[:-1], traj[1:]):
+            draw_line(out, a, b, col)
+    return out
+
+
 def draw_top_view(points_by_frame: Sequence[np.ndarray],
                   ids_by_frame: Sequence[Sequence[int]],
                   extent: float = 8000.0, size: int = 512,

@@ -424,3 +424,36 @@ class TestPoolOverflow:
             r = feed_frame(assoc, sc, t, next_id="rotate")
         assert assoc.pool_dropped_total > 0
         assert len(r.ids) >= 1          # engine still tracks
+
+
+class TestResultPayload:
+    def test_vis_ids_and_recent_projections(self):
+        """Result packaging ships reusable display ids and per-camera
+        recent-trajectory reprojections (ref ResultWithTracks,
+        Associator3D.cpp:3058-3168 + stObject3DInfo payload,
+        PSNWhere_Types.h:222-227)."""
+        sc = make_scenario(num_cameras=2, num_frames=6, num_people=3,
+                           image_size=(256, 192), arena=2000.0, seed=11)
+        assoc = Associator3D(small_cfg(), sc.cameras)
+        results = [feed_frame(assoc, sc, t) for t in range(6)]
+        r = results[-1]
+        assert len(r.vis_ids) == len(r.ids)
+        assert len(r.recent_proj) == len(r.ids)
+        # vis ids are small and unique within a frame
+        assert len(set(r.vis_ids)) == len(r.vis_ids)
+        assert all(0 <= v < 64 for v in r.vis_ids)
+        # stability: a tree id present in consecutive frames keeps its id
+        prev = results[-2]
+        stable = set(prev.ids) & set(r.ids)
+        for tree_id in stable:
+            assert (prev.vis_ids[prev.ids.index(tree_id)]
+                    == r.vis_ids[r.ids.index(tree_id)])
+        # reprojections: [C, T, 2], T matching the recent 3D points, and
+        # consistent with the camera model at the newest point
+        for obj3d, obj2d in zip(r.recent_points, r.recent_proj):
+            assert obj2d.shape == (2, len(obj3d), 2)
+        from mcmtt_opticalflow_tpu.viz.overlay import (
+            draw_result_trajectories)
+        frame = np.zeros((192, 256, 3), np.float32)
+        out = draw_result_trajectories(frame, r, cam_idx=0)
+        assert out.shape == frame.shape and float(out.max()) > 0

@@ -578,6 +578,33 @@ class Associator3D:
     def _visible_anywhere_cam(self, point, c) -> bool:
         return bool(self.host_cams[c].visible(point))
 
+    def _tracklet_tables(self):
+        """Per-camera (sorted ids, loc3d, bp_top, bp_bottom, sensitivity)
+        arrays over the ACTIVE tracklets, rebuilt once per frame (cache
+        cleared by _update_tracklets) and shared by every
+        _reconstruct_batch call that frame."""
+        tabs = getattr(self, "_tk_tables", None)
+        if tabs is not None:
+            return tabs
+        tabs = []
+        for c in range(self.num_cams):
+            live = [(tid, tk) for tid, tk in self.tracklets[c].items()
+                    if tk.activated]
+            live.sort(key=lambda kv: kv[0])
+            if live:
+                tids = np.asarray([tid for tid, _ in live], np.int64)
+                tl = np.stack([tk.loc3d for _, tk in live])
+                tt = np.stack([tk.bp_top for _, tk in live])
+                tb = np.stack([tk.bp_bottom for _, tk in live])
+                ts = np.asarray([tk.sensitivity for _, tk in live])
+            else:
+                tids = np.zeros((0,), np.int64)
+                tl = tt = tb = np.zeros((0, 3))
+                ts = np.zeros((0,))
+            tabs.append((tids, tl, tt, tb, ts))
+        self._tk_tables = tabs
+        return tabs
+
     def _reconstruct_batch(self, combos: List[Tuple[int, ...]]):
         """Vectorised `_reconstruct` over a list of combinations, both
         detection modes.  One numpy pass replaces N Python-loop
@@ -592,20 +619,29 @@ class Associator3D:
             return []
         nc = self.num_cams
         head = self.acfg.detection_mode == "head"
+        # per-camera sorted-id lookup tables (built lazily per frame by
+        # _tracklet_tables): the n x C Python fill loop this replaces
+        # cost ~8 ms/frame at ~800 seed combos
+        tabs = self._tracklet_tables()
+        cm = np.asarray(combos, np.int64)                   # [n, C]
         locs = np.zeros((n, nc, 3))
         tops = np.zeros((n, nc, 3)) if head else None
         mask = np.zeros((n, nc), bool)
         sens = np.zeros((n, nc))
-        for i, combo in enumerate(combos):
-            for c, tid in enumerate(combo):
-                if tid < 0:
-                    continue
-                tk = self.tracklets[c][tid]
-                locs[i, c] = tk.bp_bottom if head else tk.loc3d
-                if head:
-                    tops[i, c] = tk.bp_top
-                mask[i, c] = True
-                sens[i, c] = tk.sensitivity
+        for c in range(nc):
+            tids, tl, tt, tb, ts = tabs[c]
+            if len(tids) == 0:
+                continue
+            col = cm[:, c]
+            idx = np.searchsorted(tids, col)
+            safe = np.clip(idx, 0, len(tids) - 1)
+            hit = (col >= 0) & (idx < len(tids)) & (tids[safe] == col)
+            locs[:, c] = np.where(hit[:, None],
+                                  (tb if head else tl)[safe], 0.0)
+            if head:
+                tops[:, c] = np.where(hit[:, None], tt[safe], 0.0)
+            mask[:, c] = hit
+            sens[:, c] = np.where(hit, ts[safe], 0.0)
         num = mask.sum(1)
         single = num < 2
         if head:
@@ -729,6 +765,7 @@ class Associator3D:
     # 7a. tracklet ingest & cross-camera gating (ref :1099-1268)
     # ------------------------------------------------------------------
     def _update_tracklets(self, frame_idx, ids, boxes, mask, rgb_frames):
+        self._tk_tables = None   # invalidate the per-frame lookup tables
         # Tracklet ingest runs on host: the batch is tens of boxes per
         # camera, far below the size where a device dispatch pays for
         # itself (the heavy per-frame device programs are the 2D tracker,

@@ -68,11 +68,13 @@ def main():
         # replica, so convergence needs far fewer moves than the
         # reference's cold 2000-iteration budget; the recorded-graph
         # quality harness (tests/test_solver_quality.py) certifies
-        # brute-force-ratio >= 0.99 at this setting.  512 vertices: this
-        # scene peaks at ~350 live candidates — 256 rank-pruned >100
-        # tracks per frame out of the optimization (the reference carries
-        # up to 2000, Associator3D.cpp:23)
-        solver=SolverConfig(num_replicas=8, max_vertices=512,
+        # brute-force-ratio >= 0.99 at this setting.  max_vertices=1024:
+        # scripts/tpu_vcap.py measured the fused solve at 22/28/48 ms for
+        # V=512/1024/2048 — 1024 costs +6 ms (hidden in the pipeline
+        # shadow), brings the survivor cap to the reference's 2000 tracks
+        # (min(2000, 2V), ref Associator3D.cpp:23) and keeps pool_dropped
+        # at ~0 at this density (V=512 dropped ~60/frame)
+        solver=SolverConfig(num_replicas=8, max_vertices=1024,
                             max_iterations=150),
     )
     eng = TrackingEngine(cfg, sc.cameras, pipelined=True)

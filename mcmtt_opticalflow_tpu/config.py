@@ -35,8 +35,11 @@ class Tracker2DConfig:
     lk_window: int = 16               # fixed LK window (TPU-friendly; ref scales the
     #                                   window with box width, Tracker2D.cpp:776-782)
     lk_pyramid_levels: int = 3
-    lk_iterations: int = 10           # ref TermCriteria 20 iters/0.03 eps, Tracker2D.cpp:145
-    lk_eps: float = 0.03
+    lk_iterations: int = 10           # ref TermCriteria 20 iters + 0.03 eps
+    #                                   early-out, Tracker2D.cpp:145.  The
+    #                                   TPU path runs a FIXED Newton count
+    #                                   (compile-once, no data-dependent
+    #                                   loop exit), so there is no eps knob.
     feature_quality_level: float = 0.01
 
     # validation gates
@@ -72,7 +75,10 @@ class Associator3DConfig:
     max_tracklet_distance: float = 2000.0  # MAX_TRACKLET_DISTANCE Associator3D.cpp:31
     max_body_width: float = 2000.0    # MAX_BODY_WIDHT Associator3D.cpp:41
     min_target_proximity: float = 200.0    # Associator3D.cpp:44
-    default_height: float = 1700.0    # Associator3D.cpp:46
+    default_height: float = 1700.0    # DEFAULT_HEIGHT Associator3D.cpp:46;
+    #                                   body-height pad of the visibility
+    #                                   test feeding the FP/FN likelihood
+    #                                   ratios (ref CheckVisibility :718-733)
     detection_mode: str = "full_body"  # "full_body" (PETS) or "head"; ref
     #                                    PSN_DETECTION_TYPE, Defines.h:37
     consider_sensitivity: bool = False     # CONSIDER_SENSITIVITY Associator3D.cpp:48
@@ -135,6 +141,38 @@ class Associator3DConfig:
     # pruning, ref Associator3D.cpp:1832-2242 + 2959-2994)
     max_branches_per_frame: int = 256
 
+    # ---- candidate-population containment (new this engine) --------------
+    # The reference births every feasible seed/branch and only prunes
+    # after the fact (GTP prune, ref Associator3D.cpp:2959-2994) — viable
+    # on CPU with ~8 PETS targets, but at 20+ targets with synchronized
+    # tracklet rotations the unconfirmed-tree population multiplies every
+    # host sweep and starves the per-frame branch budget.  Containment
+    # happens at ADMISSION instead:
+    #
+    # seeds_per_cluster: among same-frame seed candidates whose
+    # reconstruction points lie within min_target_proximity of each other
+    # (mutually incompatible in the solver anyway, ref :2470-2489), only
+    # the best-birth-cost few are admitted.  The camera-subset combos of
+    # one target collapse onto its position cluster, so this keeps the
+    # best one or two interpretations per spatial location.
+    seeds_per_cluster: int = 2
+    # global new-tree cap per frame, spent in birth-cost order
+    max_new_tracks_per_frame: int = 256
+    # per-paused-track cap on temporal resume branches (closest seeds
+    # first): spreads the global branch budget across ALL paused tracks
+    # instead of letting the best-ranked few consume it on every feasible
+    # seed pairing (identity continuity at density needs every real
+    # target's pause to get its resume candidate)
+    temporal_branches_per_track: int = 2
+    # per-track cap on same-frame spatial branch alternatives (best
+    # reconstruction/link first), same budget-spreading rationale
+    spatial_branches_per_track: int = 8
+    # hard cap on concurrently alive unconfirmed trees (rank-pruned by
+    # their best track's (-gt_prob, cost)); bounds the registry at
+    # pathological densities — the admission gates above keep it slack
+    # in normal operation
+    max_unconfirmed_trees: int = 512
+
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
@@ -143,8 +181,15 @@ class SolverConfig:
 
     num_replicas: int = 8             # parallel restarts (ref is one serial chain)
     max_vertices: int = 256           # padded graph capacity per solve
-    min_iterations: int = 200         # BLS_MIN_ITERATION GraphSolver.cpp:530
-    max_iterations: int = 2000        # BLS_MAX_ITERATION GraphSolver.cpp:531
+    max_iterations: int = 2000        # BLS_MAX_ITERATION GraphSolver.cpp:531.
+    #                                   The ref's edge-count-scaled budget
+    #                                   min(max(200, 10|E|), 2000)
+    #                                   (GraphSolver.cpp:548-553) is a
+    #                                   dynamic loop bound — TPU programs
+    #                                   use this FIXED budget instead
+    #                                   (iteration count is a static jit
+    #                                   argument; replica warm starts make
+    #                                   far fewer moves sufficient)
     t_nonimprove: int = 10            # BLS_T GraphSolver.cpp:528
     p0: float = 0.75                  # BLS_P0 GraphSolver.cpp:527
     phi: int = 7                      # BLS_PHI (tabu tenure base) GraphSolver.cpp:529

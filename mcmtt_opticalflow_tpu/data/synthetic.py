@@ -164,6 +164,66 @@ def _random_walks(rng, num_frames, num_people, arena, speed, enter_exit):
     return xy
 
 
+def synth_tracklet_stream(sc: "SyntheticScenario", max_trackers: int,
+                          rotation: int, fn_rate: float = 0.05,
+                          fp_per_cam: float = 0.10,
+                          noise_px: float = 1.0, seed: int = 1):
+    """Synthesize the 2D stage's per-frame output (ids, boxes, mask)
+    directly from ground truth: each visible person's box becomes a
+    tracklet whose id rotates every `rotation` frames — SYNCHRONIZED
+    across all targets, the worst-case load the reference's 3-frame
+    tracklet cap creates (ref PSN_2D_MAX_TRACKLET_LENGTH,
+    Tracker2D.cpp:10) when every target is present from frame 0.  False
+    positives become one-frame tracklets; misses drop the tracklet for a
+    frame.  Drives associator-only density tests/benchmarks ~100x faster
+    than the full pipeline."""
+    rng = np.random.RandomState(seed)
+    host_cams = [HostCamera(c) for c in sc.cameras]
+    w, h = sc.image_size
+    ncam = len(sc.cameras)
+    out = []
+    next_fp_id = 1_000_000
+    for t in range(sc.num_frames):
+        ids = np.full((ncam, max_trackers), -1, np.int64)
+        boxes = np.zeros((ncam, max_trackers, 4), np.float32)
+        mask = np.zeros((ncam, max_trackers), bool)
+        for c, cam in enumerate(host_cams):
+            k = 0
+            for p in range(sc.num_people):
+                xy = sc.gt_xy[t, p]
+                if np.isnan(xy[0]) or rng.rand() < fn_rate:
+                    continue
+                feet = cam.world_to_image(np.asarray([xy[0], xy[1], 0.0]))
+                head = cam.world_to_image(
+                    np.asarray([xy[0], xy[1], sc.heights[p]]))
+                if not (np.isfinite(feet).all() and np.isfinite(head).all()):
+                    continue
+                bh = abs(feet[1] - head[1])
+                bw = 0.42 * bh
+                x0 = feet[0] - bw / 2 + rng.randn() * noise_px
+                y0 = min(feet[1], head[1]) + rng.randn() * noise_px
+                if x0 + bw < 5 or x0 > w - 5 or y0 + bh < 5 or y0 > h - 5:
+                    continue
+                if k >= max_trackers:
+                    break
+                ids[c, k] = p * 10_000 + c * 100_000_000 + t // rotation
+                boxes[c, k] = [x0, y0, bw, bh]
+                mask[c, k] = True
+                k += 1
+            for _ in range(rng.poisson(fp_per_cam)):
+                if k >= max_trackers:
+                    break
+                bh = rng.uniform(40, 120)
+                ids[c, k] = next_fp_id
+                next_fp_id += 1
+                boxes[c, k] = [rng.uniform(0, w - 40),
+                               rng.uniform(0, h - bh), 0.42 * bh, bh]
+                mask[c, k] = True
+                k += 1
+        out.append((ids, boxes, mask))
+    return out
+
+
 def make_scenario(num_cameras: int = 4,
                   num_frames: int = 40,
                   num_people: int = 5,

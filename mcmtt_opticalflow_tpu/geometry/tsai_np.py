@@ -9,6 +9,8 @@ field names (ref psn_where/calibration/cameraModel.cpp:494-663).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
@@ -72,12 +74,25 @@ class HostCamera:
         zout = np.broadcast_to(zw, np.shape(xw))
         return np.stack([xw, yw, zout], -1)
 
-    def visible(self, xyz: np.ndarray) -> np.ndarray:
+    def visible(self, xyz: np.ndarray,
+                pad_height: Optional[float] = None) -> np.ndarray:
+        """In-view test.  With pad_height (the reference's DEFAULT_HEIGHT),
+        the frame is shrunk by 1/6 of the target's projected body height —
+        the detection-probability pad of ref CheckVisibility
+        (psn_where/PSNWhere_Associator3D.cpp:718-733): a target that close
+        to the image edge no longer counts as "should have been detected"
+        in the FP/FN likelihood ratios."""
+        xyz = np.asarray(xyz, np.float64)
         uv = self.world_to_image(xyz)
         u, v = uv[..., 0], uv[..., 1]
+        half = 0.0
+        if pad_height is not None:
+            top = xyz.copy()
+            top[..., 2] = pad_height
+            half = np.linalg.norm(self.world_to_image(top) - uv, axis=-1) / 6.0
         return (np.isfinite(u) & np.isfinite(v)
-                & (u >= 0) & (u < self.p["width"])
-                & (v >= 0) & (v < self.p["height"]))
+                & (u >= half) & (u < self.p["width"] - half)
+                & (v >= half) & (v < self.p["height"] - half))
 
 
 def triangulate_two_lines_np(p1a, p1b, p2a, p2b):

@@ -37,7 +37,7 @@ from mcmtt_opticalflow_tpu.models.costs import score_track_windows
 from mcmtt_opticalflow_tpu.models.mwcp import (solve_mwcp, device_k_best,
                                                NEG as _SOLVER_NEG)
 from mcmtt_opticalflow_tpu.models.trees import (
-    Track, TrackRegistry, Tracklet)
+    Track, TrackRegistry, Tracklet, TrackTree)
 from mcmtt_opticalflow_tpu.ops.sgsmooth import smoothing_matrix_np
 
 _MAP_STRIDE = 4
@@ -182,6 +182,11 @@ class Associator3D:
         self.pool_dropped_last = 0
         self.pool_dropped_total = 0
         self.seed_combos_truncated = 0
+        # admission-gate containment telemetry (see _admit_seeds)
+        self.seeds_suppressed_total = 0
+        # per-frame diagnostic counters (cheap ints; density_lab --debug
+        # prints them): track deaths by cause + population composition
+        self.diag: Dict[str, int] = {}
         # tree-id -> display id map + free list (ref queuePairTreeIDToVisualizationID,
         # Associator3D.cpp:3077-3100)
         self.vis_id_map: Dict[int, int] = {}
@@ -472,10 +477,12 @@ class Associator3D:
         return np.minimum(a.cost_exit_max, -np.log(np.maximum(p, 1e-300)))
 
     def _visible_anywhere_batch(self, points: np.ndarray) -> np.ndarray:
-        """[N, 3] -> [N] bool: visible in at least one camera."""
+        """[N, 3] -> [N] bool: visible in at least one camera, with the
+        body-height pad of ref CheckVisibility (Associator3D.cpp:718-733,
+        consumed by the extrapolation check :1567)."""
         vis = np.zeros((len(points),), bool)
         for hc in self.host_cams:
-            vis |= hc.visible(points)
+            vis |= hc.visible(points, self.acfg.default_height)
         return vis
 
     def _visible_anywhere(self, point: np.ndarray) -> bool:
@@ -562,7 +569,8 @@ class Associator3D:
         return self._finish_reconstruction(point, locs, mask, max_error, prob)
 
     def _finish_reconstruction(self, point, locs, mask, max_error, prob):
-        # detection likelihood ratio (ref :900-912)
+        # detection likelihood ratio over body-pad-visible cameras
+        # (ref :900-912 via CheckVisibility's pad, :718-733)
         ratio = 1.0
         for c in range(self.num_cams):
             if not self._visible_anywhere_cam(point, c):
@@ -576,7 +584,8 @@ class Associator3D:
         return point, locs, mask, max_error, float(cost)
 
     def _visible_anywhere_cam(self, point, c) -> bool:
-        return bool(self.host_cams[c].visible(point))
+        return bool(self.host_cams[c].visible(
+            point, self.acfg.default_height))
 
     def _tracklet_tables(self):
         """Per-camera (sorted ids, loc3d, bp_top, bp_bottom, sensitivity)
@@ -687,11 +696,12 @@ class Associator3D:
                                     / np.maximum(max_err, 1e-12) - 2.0))
         ok = (num > 0) & (single | (mean_dist <= max_err))
         # detection likelihood ratio over cameras where the point is
-        # visible (ref :900-912), vectorised per camera
+        # visible with the body-height pad (ref :900-912 + :718-733),
+        # vectorised per camera
         ratio = np.ones(n)
         a = self.acfg
         for c, hc in enumerate(self.host_cams):
-            vis = np.asarray(hc.visible(point)).reshape(n)
+            vis = np.asarray(hc.visible(point, a.default_height)).reshape(n)
             f = np.where(mask[:, c], (1 - a.fp_rate) / a.fp_rate,
                          a.fn_rate / (1 - a.fn_rate))
             ratio *= np.where(vis, f, 1.0)
@@ -723,14 +733,17 @@ class Associator3D:
             self._update_tracklets(frame_idx, np.asarray(ids),
                                    np.asarray(boxes), np.asarray(mask),
                                    rgb_frames)
-        # deferred mode: finish the PREVIOUS frame's in-flight solve now —
-        # tracklet ingest above ran in its shadow, and by this point the
-        # device->host copy started at dispatch time has usually landed
+        # seed enumeration depends only on this frame's tracklets, so it
+        # runs BEFORE the previous frame's solve is collected — tracklet
+        # ingest + the full seed sweep shadow the in-flight device solve
+        # and its (slow-tunnel) device->host copy
+        with t.stage("assoc.seed_enum"):
+            seed_prep = self._enumerate_seeds(frame_idx)
         prev = self.collect() if self.deferred_solve else None
         with t.stage("assoc.update_tracks"):
             self._update_tracks(frame_idx)
         with t.stage("assoc.seeds"):
-            seeds = self._generate_seeds(frame_idx)
+            seeds = self._materialize_seeds(frame_idx, seed_prep)
         with t.stage("assoc.branch"):
             self._branch_tracks(frame_idx, seeds)
         with t.stage("assoc.hypotheses"):
@@ -947,12 +960,17 @@ class Associator3D:
                 np.stack([live[i].points[-1] for i in ok_idx]),
                 np.stack([recs[i][0] for i in ok_idx]),
                 np.ones(len(ok_idx)), self.acfg.max_moving_speed)
+        d = self.diag
+        d.clear()
+        d["n_live"] = len(live)
+        d["n_pausing"] = len(pausing)
         for j, i in enumerate(ok_idx):
             tr = live[i]
             point, raws, rmask, max_err, cost_rec = recs[i]
             p_link = float(p_links[j])
             if p_link < self.acfg.min_linking_probability:
                 tr.valid = False
+                d["died_plink"] = d.get("died_plink", 0) + 1
                 continue
             self._append_position(tr, point, raws, rmask, max_err,
                                   cost_rec, -np.log(max(p_link, 1e-300)),
@@ -964,6 +982,7 @@ class Associator3D:
         for i, r in enumerate(recs):
             if r is None:
                 live[i].valid = False
+                d["died_recon"] = d.get("died_recon", 0) + 1
 
         # re-smoothing + re-costing of the updated tracks is DEFERRED and
         # batched together with the branch candidates' scoring in
@@ -1013,7 +1032,6 @@ class Associator3D:
         for tid in self._gt_prob_touched:
             t = reg.tracks.get(tid)
             if t is not None:
-                t.branch_gt_prob = 0.0
                 t.gt_prob = 0.0
                 t.current_best = False
         self._gt_prob_touched = []
@@ -1171,8 +1189,18 @@ class Associator3D:
     # seeds (ref Track3D_GenerateSeedTracks :1727-1819)
     # ------------------------------------------------------------------
     def _generate_seeds(self, frame_idx) -> List[int]:
+        return self._materialize_seeds(frame_idx,
+                                       self._enumerate_seeds(frame_idx))
+
+    def _enumerate_seeds(self, frame_idx):
+        """Solve-INDEPENDENT half of seed generation: combination
+        enumeration, batched reconstruction and the admission gate.  Reads
+        only this frame's tracklet state (set by _update_tracklets), so the
+        pipelined engine runs it in the shadow of the in-flight hypothesis
+        solve, before collect() — identical results, ~40 ms of host work
+        overlapped with the device solve + its tunnel download."""
         if not any(self.new_measurements[c] for c in range(self.num_cams)):
-            return []
+            return ([], [])
         combos: List[Tuple[int, ...]] = []
         maps = [np.ones(len(self.new_measurements[c]), bool)
                 for c in range(self.num_cams)]
@@ -1182,11 +1210,21 @@ class Associator3D:
         if len(combos) >= cap:
             self.seed_combos_truncated += 1
         combos = [c for c in combos if any(t >= 0 for t in c)]
-        seeds = []
-        new_tracks = []
         oks = [(combo, rec) for combo, rec
                in zip(combos, self._reconstruct_batch(combos))
                if rec is not None]
+        enter_costs = self._admit_seeds(oks)
+        oks = [oks[i] for i in range(len(oks)) if enter_costs[i] is not None]
+        enter_costs = [e for e in enter_costs if e is not None]
+        return (oks, enter_costs)
+
+    def _materialize_seeds(self, frame_idx, prep) -> List[int]:
+        """Registry-mutating half: turn admitted seed candidates into
+        tracks + trees (must run after the previous frame's collect/prune
+        so id allocation and prune visibility match sequential mode)."""
+        oks, enter_costs = prep
+        seeds: List[int] = []
+        new_tracks = []
         if oks:
             # one stacked allocation per field for the whole seed batch;
             # each Track gets disjoint row VIEWS (appends re-buffer via
@@ -1224,16 +1262,59 @@ class Associator3D:
                     b_lte[i], b_ltl[i], b_ls[i], b_lr[i], cap)
                 new_tracks.append(tr)
                 seeds.append(tr.id)
-        if new_tracks:
-            # one batched boundary-map pass for every seed's enter cost
-            pb = np.stack([tr.last_t_loc for tr in new_tracks])
-            pm = np.stack([np.asarray([t >= 0 for t in tr.combination])
-                           for tr in new_tracks])
-            for tr, ce in zip(new_tracks,
-                              self._enter_cost_batch(pb, pm)):
-                tr.cost_enter = float(ce)
-                tr.invalidate_cost()
+        for tr, ce in zip(new_tracks, enter_costs):
+            # enter cost precomputed by _admit_seeds' batched pass
+            tr.cost_enter = float(ce)
+            tr.invalidate_cost()
         return seeds
+
+    def _admit_seeds(self, oks) -> List[Optional[float]]:
+        """Seed admission gate (containment — new vs the reference, which
+        births every feasible combination and prunes after the fact, ref
+        Track3D_GenerateSeedTracks :1727-1819 + GTP prune :2959-2994).
+
+        Ranks candidates by birth cost (reconstruction + enter), then
+        greedily admits at most `seeds_per_cluster` per
+        min_target_proximity-radius spatial cluster and at most
+        `max_new_tracks_per_frame` overall.  Same-cluster candidates are
+        pairwise incompatible in the hypothesis graph anyway (ref
+        CheckIncompatibility :2470-2489), so the suppressed ones could
+        never co-exist with the admitted — only REPLACE them, which the
+        kept per-cluster alternates still allow.
+
+        Returns a list aligned with `oks`: the candidate's enter cost if
+        admitted, None if suppressed."""
+        n = len(oks)
+        if n == 0:
+            return []
+        locs = np.stack([r[1] for _, r in oks])
+        masks = np.stack([r[2] for _, r in oks])
+        enter = self._enter_cost_batch(locs, masks)
+        acfg = self.acfg
+        gcap = acfg.max_new_tracks_per_frame
+        per_cluster = acfg.seeds_per_cluster
+        if n <= per_cluster and n <= gcap:
+            return [float(e) for e in enter]
+        pts = np.stack([r[0] for _, r in oks])
+        score = np.asarray([r[4] for _, r in oks]) + enter
+        order = np.argsort(score, kind="stable")
+        prox2 = acfg.min_target_proximity ** 2
+        acc = np.empty((min(gcap, n), 3))
+        na = 0
+        out: List[Optional[float]] = [None] * n
+        for i in order:
+            if na >= gcap:
+                break
+            p = pts[i]
+            if na:
+                d2 = ((acc[:na] - p) ** 2).sum(-1)
+                if int((d2 < prox2).sum()) >= per_cluster:
+                    continue
+            acc[na] = p
+            na += 1
+            out[i] = float(enter[i])
+        self.seeds_suppressed_total += n - na
+        return out
 
     def _new_track_from_seed(self, frame_idx, combo, points, smoothed,
                              velocity, raws, rmask, max_err, is_meas,
@@ -1285,16 +1366,38 @@ class Associator3D:
         spatial_pairs: List[Tuple[Track, Tuple[int, ...]]] = []
 
         # ---- spatial branching -------------------------------------------
+        # Branch ALLOCATION must be fair across parents: with the real 2D
+        # stream, tracklet rotations are STAGGERED across cameras, so a
+        # re-seeded track starts as a 1-camera combination whose recon
+        # cost stays positive ("visible in C, detected in 1") until a
+        # spatial branch adds the other cameras.  Sorting purely by
+        # (-gt_prob, cost) starved exactly those tracks of branches — they
+        # died at confirmation with gt_prob 0 and re-seeded forever (the
+        # round-3 density recall collapse).  Order therefore interleaves
+        # unconfirmed-tree tracks with established ones, and
+        # materialization is per-parent round-robin under the budget.
         self.timer.push("branch.enum")
         cost_of = {t: reg.tracks[t].total_cost()
                    for t in set(self.active_tracks) | set(self.paused_tracks)
                    if t in reg.tracks}
-        order = sorted(
-            [t for t in self.active_tracks if t not in seeds],
-            key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
+        budget = self.acfg.max_branches_per_frame
+        est: List[int] = []
+        yng: List[int] = []
+        for t in self.active_tracks:
+            if t in seeds:
+                continue
+            tree = reg.trees.get(reg.tracks[t].tree_id)
+            (yng if tree is not None and not tree.confirmed else est).append(t)
+        key = lambda t: (-reg.tracks[t].gt_prob, cost_of[t])
+        est.sort(key=key)
+        yng.sort(key=key)
+        order = [t for pair in zip(yng, est) for t in pair]
+        order += yng[len(est):] + est[len(yng):]
+        per_track = self.acfg.spatial_branches_per_track
+        parent_seq: List[int] = []
         for tid in order:
-            if len(spatial_pairs) >= 4 * self.acfg.max_branches_per_frame:
-                break   # recon/link gates won't pass 3/4 of these anyway
+            if len(spatial_pairs) >= 8 * budget:
+                break   # reconstruction-batch bound
             tr = reg.tracks[tid]
             combo = tr.combination
             maps = [np.ones(len(self.new_measurements[c]), bool)
@@ -1309,10 +1412,14 @@ class Associator3D:
                         maps[c2] = maps[c2] & m
             branches: List[Tuple[int, ...]] = []
             self._generate_combinations(maps, list(combo), 0, branches,
-                                        cap=64)
+                                        cap=2 * per_track)
+            had = False
             for br in branches:
                 if br != combo:
                     spatial_pairs.append((tr, br))
+                    had = True
+            if had:
+                parent_seq.append(tr.id)
 
         self.timer.pop()
         # batch-reconstruct all spatial branch combinations, then batch the
@@ -1328,17 +1435,35 @@ class Associator3D:
             p_links = _link_prob_batch(
                 prev_pts, np.stack([recs[i][0] for i in ok_idx]),
                 np.ones(len(ok_idx)), self.acfg.max_moving_speed)
-            budget = self.acfg.max_branches_per_frame
+            groups: Dict[int, List[Tuple[int, float]]] = {}
             for j, i in enumerate(ok_idx):
-                if len(candidates) >= budget:
-                    break
                 if p_links[j] < self.acfg.min_linking_probability:
                     continue
-                parent, br = spatial_pairs[i]
-                cand = self._make_spatial_branch(
-                    frame_idx, parent, br, recs[i], float(p_links[j]))
-                if cand is not None:
-                    candidates.append(cand)
+                parent = spatial_pairs[i][0]
+                groups.setdefault(parent.id, []).append((i, float(p_links[j])))
+            # round-robin materialization: every parent gets its first
+            # branch before any parent gets its second
+            ptr = {pid: 0 for pid in groups}
+            progress = True
+            while len(candidates) < budget and progress:
+                progress = False
+                for pid in parent_seq:
+                    lst = groups.get(pid)
+                    if lst is None:
+                        continue
+                    k = ptr[pid]
+                    if k >= min(len(lst), per_track):
+                        continue
+                    ptr[pid] = k + 1
+                    progress = True
+                    i, pl = lst[k]
+                    parent, br = spatial_pairs[i]
+                    cand = self._make_spatial_branch(
+                        frame_idx, parent, br, recs[i], pl)
+                    if cand is not None:
+                        candidates.append(cand)
+                    if len(candidates) >= budget:
+                        break
 
         self.timer.pop()
         # ---- temporal branching ------------------------------------------
@@ -1362,7 +1487,9 @@ class Associator3D:
             gap_row = frame_idx - np.asarray(
                 [t.time_end for t in paused_trs])
             row_ok = (gap_row >= 1) & (gap_row <= self.acfg.max_time_jump)
-            budget = self.acfg.max_branches_per_frame
+            # temporal branches get their OWN budget — a saturated spatial
+            # pass must not cancel the paused tracks' resume candidates
+            budget = len(candidates) + self.acfg.max_branches_per_frame
             if row_ok.any():
                 rows = np.flatnonzero(row_ok)
                 last_pts = np.stack([paused_trs[pi].points
@@ -1375,15 +1502,27 @@ class Associator3D:
                 r = (self.acfg.max_moving_speed * gap_row[rows]
                      * (2.0 + _erfcinv(
                          2.0 * self.acfg.min_linking_probability)) / 4.0)
-                ok = d2 <= (r * r)[:, None]
+                # clamp: erfcinv makes r NEGATIVE when pmin > 0.5*erfc(-2)
+                # (~0.9977) — squaring would silently flip the gate open
+                ok = d2 <= (np.maximum(r, 0.0) ** 2)[:, None]
                 # row-major scan with the budget break of the original
-                # nested loop (argwhere-style full materialisation paid
-                # ~90 ms/frame when most pairs were feasible)
+                # nested loop; each paused track takes only its CLOSEST
+                # few seeds (temporal_branches_per_track) so the global
+                # budget spreads across all paused tracks — at density,
+                # letting the best-ranked rows consume the budget on every
+                # feasible pairing starved later targets of their resume
+                # candidates (the r3 deferred-window MOTA inversion)
+                per_track = self.acfg.temporal_branches_per_track
                 for k, pi in enumerate(rows):
                     if len(candidates) >= budget:
                         break
                     g = int(gap_row[pi])
-                    for si in np.flatnonzero(ok[k]):
+                    feas = np.flatnonzero(ok[k])
+                    if len(feas) > per_track:
+                        sub = np.argsort(d2[k, feas],
+                                         kind="stable")[:per_track]
+                        feas = feas[sub]
+                    for si in feas:
                         if len(candidates) >= budget:
                             break
                         cand = self._make_temporal_branch(
@@ -1399,6 +1538,8 @@ class Associator3D:
         # ones the device invalidates.
         updated = getattr(self, "_pending_rescore", [])
         self._pending_rescore = []
+        self.diag["branches"] = len(candidates)
+        self.diag["seeds"] = len(seeds)
         for cand in candidates:
             reg.add_track(cand)
             self.tracks_in_window.append(cand.id)
@@ -1868,8 +2009,15 @@ class Associator3D:
                                    log_likelihood=s, probability=prob))
         self.prev_hypotheses = hyps
         self.best_solution = hyps[0].selected if hyps else []
+        d = self.diag
+        d["best"] = len(self.best_solution)
         for t in self.best_solution:
-            reg.tracks[t].current_best = True
+            tr = reg.tracks[t]
+            tr.current_best = True
+            if tr.time_start > frame_idx - 6:
+                d["best_young"] = d.get("best_young", 0) + 1
+            if tr.time_end < frame_idx:
+                d["best_stale"] = d.get("best_stale", 0) + 1
 
     # ------------------------------------------------------------------
     # pruning (ref :2845-2994 + :3005-3047)
@@ -1933,6 +2081,7 @@ class Associator3D:
             tr.valid = False
 
         # unconfirmed trees: keep top-2 tracks (ref :2985-2993)
+        uc_rank: List[Tuple[float, float, TrackTree]] = []
         for tree in reg.trees.values():
             if tree.confirmed or not tree.valid:
                 continue
@@ -1940,6 +2089,21 @@ class Associator3D:
                         key=lambda t: (-reg.tracks[t].gt_prob, cost_of[t]))
             for tid in ts[acfg.max_track_in_unconfirmed_tree:]:
                 reg.tracks[tid].valid = False
+            live_ts = [t for t in ts[:acfg.max_track_in_unconfirmed_tree]
+                       if reg.tracks[t].valid]
+            if live_ts:
+                b = live_ts[0]
+                uc_rank.append((-reg.tracks[b].gt_prob, cost_of[b], tree))
+        # hard cap on concurrent unconfirmed trees (containment — new vs
+        # the reference; admission gating keeps this slack normally)
+        if len(uc_rank) > acfg.max_unconfirmed_trees:
+            uc_rank.sort(key=lambda x: (x[0], x[1]))
+            for _, _, tree in uc_rank[acfg.max_unconfirmed_trees:]:
+                for tid in tree.track_ids:
+                    tr = reg.tracks.get(tid)
+                    if tr is not None:
+                        tr.valid = False
+                tree.valid = False
 
         # refresh hypotheses (ref Hypothesis_RefreshHypotheses :3005-3047)
         unconfirmed = [t for tree in reg.trees.values()
@@ -1980,10 +2144,13 @@ class Associator3D:
             tids.append(tr.id)
             pts.append(p)
             # recent smoothed trajectory up to this frame (ref
-            # ResultWithTracks fills numPoint recent points, :3104-3130)
+            # ResultWithTracks fills numPoint recent points, :3104-3130).
+            # Copy: the window rescore rewrites tr.smoothed in place, and
+            # results are retained/snapshotted — a view would mutate
+            # already-delivered results retroactively
             e = frame_idx - tr.time_start + 1
             s = max(0, e - self.acfg.proc_window_size)
-            recents.append(tr.smoothed[s:e])
+            recents.append(tr.smoothed[s:e].copy())
         # tree-id -> reusable small display id (ref treeID/visID pairing,
         # :3077-3100): keep an id while its tree stays in the result,
         # recycle the smallest free one for newcomers

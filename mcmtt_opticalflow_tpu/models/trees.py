@@ -75,7 +75,8 @@ class Track:
     cost_exit: float = 0.0
     cost_rgb: float = 0.0
     gt_prob: float = 0.0
-    branch_gt_prob: float = 0.0
+    # NOTE: the reference's BranchGTProb (written at PSNWhere_Types.cpp:
+    # 700-746 but consumed by dead code only) is intentionally not carried
     num_outpoint: int = 0
 
     # per-camera last-tracklet info (ref Track3D fields, Types.h:409-412)
@@ -238,7 +239,19 @@ class TrackRegistry:
         The climb (oldest_track_in_branch) stops at the first ancestor
         generated at/before it and reads only that node's parent link +
         children, so deeper ancestors are unreachable — at 22-person
-        density uncapped chains held ~7000 dead ancestors by frame 30."""
+        density uncapped chains held ~7000 dead ancestors by frame 30.
+
+        Collected interior connectors SPLICE: a surviving track whose
+        parent was collected is re-attached to its nearest surviving
+        ancestor.  Downward N-scan kill-walks (set_branch_validity from a
+        fork's children) therefore still reach every surviving subtree —
+        without the splice, a sibling subtree hanging two or more
+        below-horizon levels under a fork would silently escape
+        invalidation once its connector was collected (the reference
+        always walks the full lineage, ref Hypothesis_PruningNScanBack
+        Associator3D.cpp:2845-2948).  Upward climbs are unaffected: only
+        at/below-horizon nodes are collected, and the climb treats every
+        such node the same (stop + read parent)."""
         keep = set()
         for tid, t in self.tracks.items():
             if not t.valid:
@@ -257,9 +270,19 @@ class TrackRegistry:
                     break
                 cur = tr.parent
         if len(keep) != len(self.tracks):
-            self.tracks = {tid: self.tracks[tid] for tid in sorted(keep)}
+            old = self.tracks
+            self.tracks = {tid: old[tid] for tid in sorted(keep)}
             for t in self.tracks.values():
-                t.children = [ch for ch in t.children if ch in self.tracks]
+                t.children = [ch for ch in t.children if ch in keep]
+            for t in self.tracks.values():
+                p = t.parent
+                while p is not None and p not in keep:
+                    anc = old.get(p)
+                    p = anc.parent if anc is not None else None
+                if p != t.parent:
+                    t.parent = p
+                    if p is not None:
+                        self.tracks[p].children.append(t.id)
         for tree_id in list(self.trees):
             tree = self.trees[tree_id]
             tree.track_ids = [tid for tid in tree.track_ids

@@ -516,8 +516,8 @@ def lk_level_pallas(prev: jnp.ndarray,
                 num_scalar_prefetch=2,
                 grid=(m // BATCH,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=out_spec,
                 scratch_shapes=[

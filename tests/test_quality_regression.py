@@ -64,3 +64,75 @@ class TestQualityRegression:
     def test_mostly_tracked(self, results):
         assert results[5].most_tracked >= 2, results[5].summary()
         assert results[5].most_lost <= 1, results[5].summary()
+
+
+@pytest.fixture(scope="module")
+def density_results():
+    """22-person bench-density scene, associator-only (synthesized 2D
+    tracklet stream with synchronized 3-frame rotations — the load that
+    broke round 3: MOTA fell as the deferred window grew, inverting the
+    reference's deferred-output protocol, ref Associator3D.cpp:282-286)."""
+    from mcmtt_opticalflow_tpu.config import Associator3DConfig
+    from mcmtt_opticalflow_tpu.data.synthetic import synth_tracklet_stream
+
+    sc = make_scenario(num_cameras=4, num_frames=30, num_people=22,
+                       image_size=(768, 576), arena=9000.0, noise_px=1.0,
+                       fp_rate=0.10, fn_rate=0.05, seed=0)
+    cfg = EngineConfig(
+        num_cameras=4, image_width=768, image_height=576,
+        tracker2d=Tracker2DConfig(max_detections=48, max_trackers=64),
+        assoc3d=Associator3DConfig(k_best_size=30),
+        solver=SolverConfig(num_replicas=8, max_vertices=512,
+                            max_iterations=150))
+    eng = TrackingEngine(cfg, sc.cameras)
+    stream = synth_tracklet_stream(sc, 64, 3, seed=1)
+    gray = np.full((4, 576, 768, 3), 128, np.uint8)
+    gx, gy = sc.gt_matrices()
+    accs = {w: ClearMotAccumulator(gx, gy, (-9000.0, -9000.0, 9000.0,
+                                            9000.0), 1000.0)
+            for w in (0, 3, 6)}
+    peak = 0
+    for t in range(sc.num_frames):
+        ids, boxes, mask = stream[t]
+        eng.assoc.step(t, ids, boxes, mask, gray)
+        peak = max(peak, len(eng.assoc.registry.tracks))
+        for w, acc in accs.items():
+            if t - w >= 0:
+                rr = eng.deferred_result(t - w)
+                acc.set_result(t - w, [(i, p[0], p[1])
+                                       for i, p in zip(rr.ids, rr.points)])
+    last = sc.num_frames - 1
+    for w, acc in accs.items():
+        for td in range(max(last - w + 1, 0), last + 1):
+            rr = eng.deferred_result(td)
+            acc.set_result(td, [(i, p[0], p[1])
+                                for i, p in zip(rr.ids, rr.points)])
+    res = {w: acc.evaluate() for w, acc in accs.items()}
+    res["tracks_peak"] = peak
+    res["pool_dropped"] = eng.assoc.pool_dropped_total
+    return res
+
+
+class TestDensityQuality:
+    """Locks round 4's containment + density-quality results (lab numbers:
+    MOTA 0.75/0.78/0.78 at w0/3/6, tracks_peak 490, pool_dropped 14)."""
+
+    def test_mota_floor_at_density(self, density_results):
+        assert density_results[6].mota > 0.6, density_results[6].summary()
+
+    def test_deferred_window_monotone_at_density(self, density_results):
+        # r3's protocol inversion lost 0.04 MOTA by w6 (0.474 -> 0.435).
+        # Lock: deferred windows may not HURT beyond noise, and the id
+        # continuity they exist to deliver (ref :282-286) must improve.
+        r = density_results
+        assert r[3].mota >= r[0].mota - 0.02, (r[0].summary(),
+                                               r[3].summary())
+        assert r[6].mota >= r[0].mota - 0.02, (r[0].summary(),
+                                               r[6].summary())
+        assert r[6].id_switches <= r[0].id_switches, (
+            r[0].summary(), r[6].summary())
+
+    def test_candidate_containment(self, density_results):
+        # VERDICT r3 #1: tracks_peak <= 2000, pool_dropped ~ 0
+        assert density_results["tracks_peak"] <= 2000
+        assert density_results["pool_dropped"] <= 100

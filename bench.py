@@ -60,9 +60,13 @@ def main():
     cfg = EngineConfig(
         num_cameras=4, image_width=768, image_height=576,
         # 2 pyramid levels cover the PETS-scale per-frame motion (<16 px)
-        # and keep the cold-compile budget bounded
+        # and keep the cold-compile budget bounded.  36 features/box (6x6
+        # grid): measured BETTER dense-scene MOTA than 64 on the full
+        # pipeline (0.779/0.788/0.774 vs 0.738/0.770/0.753 at w0/3/6)
+        # and ~44% less LK kernel work
         tracker2d=Tracker2DConfig(lk_pyramid_levels=2, lk_iterations=8,
-                                  max_detections=48, max_trackers=64),
+                                  max_detections=48, max_trackers=64,
+                                  max_features=36),
         assoc3d=Associator3DConfig(k_best_size=30),
         # 150 BLS iterations: every carried hypothesis warm-starts a
         # replica, so convergence needs far fewer moves than the

@@ -63,15 +63,6 @@ def _link_prob_batch(p1s: np.ndarray, p2s: np.ndarray, gaps: np.ndarray,
     return 0.5 * _erfc(4.0 * d / (max_speed * g) - 2.0)
 
 
-def _rgb_cost_np(f1, f2, time_gap: float, min_dist: float, coef: float,
-                 decay: float) -> float:
-    """Host scalar of ops.histogram.rgb_cost."""
-    n2 = float(np.sum((np.asarray(f1) - np.asarray(f2)) ** 2))
-    if n2 <= min_dist:
-        return 0.0
-    return coef * float(np.exp(-decay * (time_gap - 1.0))) * (n2 - min_dist)
-
-
 @dataclasses.dataclass
 class Hypothesis:
     """A global hypothesis (ref stGlobalHypothesis,
@@ -350,9 +341,14 @@ class Associator3D:
                              solver_cfg, iters)
             # K-best compaction ON DEVICE: ship K masks to the host, not
             # the whole [R, S, V] local-optima ring (~20x less tunnel
-            # traffic per frame)
+            # traffic per frame); masks additionally BIT-PACK (8x)
             kb_masks, kb_scores = device_k_best(res, acfg.k_best_size)
-            return ws, kb_masks, kb_scores
+            shifts = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+            kb_packed = jnp.sum(
+                kb_masks.reshape(kb_masks.shape[0], -1, 8)
+                .astype(jnp.uint8) * shifts[None, None, :], axis=-1,
+                dtype=jnp.uint8)
+            return ws, kb_packed, kb_scores
 
         self._rescore_and_solve = rescore_and_solve
 
@@ -596,6 +592,7 @@ class Associator3D:
         if tabs is not None:
             return tabs
         tabs = []
+        nbins = 3 * self.acfg.num_rgb_bins
         for c in range(self.num_cams):
             live = [(tid, tk) for tid, tk in self.tracklets[c].items()
                     if tk.activated]
@@ -606,11 +603,14 @@ class Associator3D:
                 tt = np.stack([tk.bp_top for _, tk in live])
                 tb = np.stack([tk.bp_bottom for _, tk in live])
                 ts = np.asarray([tk.sensitivity for _, tk in live])
+                rh = np.stack([tk.rgb_head for _, tk in live])
+                rt = np.stack([tk.rgb_tail for _, tk in live])
             else:
                 tids = np.zeros((0,), np.int64)
                 tl = tt = tb = np.zeros((0, 3))
                 ts = np.zeros((0,))
-            tabs.append((tids, tl, tt, tb, ts))
+                rh = rt = np.zeros((0, nbins), np.float32)
+            tabs.append((tids, tl, tt, tb, ts, rh, rt))
         self._tk_tables = tabs
         return tabs
 
@@ -638,7 +638,7 @@ class Associator3D:
         mask = np.zeros((n, nc), bool)
         sens = np.zeros((n, nc))
         for c in range(nc):
-            tids, tl, tt, tb, ts = tabs[c]
+            tids, tl, tt, tb, ts = tabs[c][:5]
             if len(tids) == 0:
                 continue
             col = cm[:, c]
@@ -725,6 +725,18 @@ class Associator3D:
           mask:  [C, T] bool.
           rgb_frames: [C, H, W, 3] images, uint8 or float (for appearance).
         """
+        prev = self.step_begin(frame_idx, ids, boxes, mask, rgb_frames)
+        result = self.step_finish(frame_idx)
+        return prev if self.deferred_solve else result
+
+    def step_begin(self, frame_idx, ids, boxes, mask, rgb_frames
+                   ) -> Optional[Track3DResult]:
+        """Phase 1 of the frame: tracklet ingest, seed enumeration (both
+        solve-independent) and the collect of the in-flight deferred
+        solve.  The pipelined engine dispatches the NEXT frame's 2D device
+        program between the two phases, so the device queue orders
+        [solve(t), 2D(t+1)] — the solve lands with a full frame of host
+        shadow instead of waiting behind the 2D program."""
         self.frame_idx = frame_idx
         self.num_frames_proc += 1
 
@@ -738,8 +750,12 @@ class Associator3D:
         # ingest + the full seed sweep shadow the in-flight device solve
         # and its (slow-tunnel) device->host copy
         with t.stage("assoc.seed_enum"):
-            seed_prep = self._enumerate_seeds(frame_idx)
-        prev = self.collect() if self.deferred_solve else None
+            self._seed_prep = self._enumerate_seeds(frame_idx)
+        return self.collect() if self.deferred_solve else None
+
+    def step_finish(self, frame_idx) -> Optional[Track3DResult]:
+        t = self.timer
+        seed_prep, self._seed_prep = self._seed_prep, None
         with t.stage("assoc.update_tracks"):
             self._update_tracks(frame_idx)
         with t.stage("assoc.seeds"):
@@ -749,7 +765,7 @@ class Associator3D:
         with t.stage("assoc.hypotheses"):
             self._form_hypotheses(frame_idx, seeds)
         if self.deferred_solve:
-            return prev
+            return None
         with t.stage("assoc.prune"):
             self._prune(frame_idx)
             self.registry.gc(frame_idx - self.acfg.proc_window_size)
@@ -884,13 +900,22 @@ class Associator3D:
             new_top[None, None, :, :], new_bot[None, None, :, :])
         d = 0.5 * gap
         ok = d <= self.acfg.max_tracklet_distance
+        # associability is stored as one PYTHON-INT BITMASK per target
+        # camera (bit j = new_measurements[c2][j] admissible): combination
+        # enumeration ANDs these masks thousands of times per frame, and
+        # an integer AND is ~100x cheaper than a small-ndarray AND (the
+        # recursion was the top pure-host cost at density)
         for c1 in range(self.num_cams):
             for i, t in enumerate(acts[c1]):
                 for c2 in range(self.num_cams):
                     if c1 == c2:
-                        t.assoc[c2] = np.zeros(len(news[c2]), bool)
+                        t.assoc[c2] = 0
                     else:
-                        t.assoc[c2] = ok[c1, i, c2, :len(news[c2])]
+                        row = ok[c1, i, c2, :len(news[c2])]
+                        v = 0
+                        for j in np.flatnonzero(row):
+                            v |= 1 << int(j)
+                        t.assoc[c2] = v
 
     # ------------------------------------------------------------------
     # 7c. track update (ref Track3D_UpdateTracks :1379-1715)
@@ -1147,12 +1172,14 @@ class Associator3D:
     # ------------------------------------------------------------------
     # 7b. combination generation (ref :1283-1336)
     # ------------------------------------------------------------------
-    def _generate_combinations(self, assoc_maps, base: List[int],
+    def _generate_combinations(self, assoc_maps: List[int], base: List[int],
                                cam_idx: int, out: List[Tuple[int, ...]],
                                cap: int = 256):
-        """Recursive enumeration of feasible tracklet combinations.
-        assoc_maps: per-camera bool arrays over that camera's new
-        measurements; base: current combination (tracklet ids, -1 = none)."""
+        """Recursive enumeration of feasible tracklet combinations
+        (ref GenerateTrackletCombinations, Associator3D.cpp:1283-1336).
+        assoc_maps: per-camera INT BITMASKS over that camera's new
+        measurements (bit j = new_measurements[cam][j] admissible);
+        base: current combination (tracklet ids, -1 = none)."""
         if len(out) >= cap:
             return
         if cam_idx >= self.num_cams:
@@ -1160,28 +1187,25 @@ class Associator3D:
             return
         if base[cam_idx] >= 0:
             tk = self.tracklets[cam_idx][base[cam_idx]]
-            new_maps = []
-            for c2 in range(self.num_cams):
-                m = assoc_maps[c2]
-                if c2 > cam_idx:
-                    m = m & tk.assoc.get(c2, np.zeros_like(m))
-                new_maps.append(m)
+            assoc = tk.assoc
+            new_maps = [m & assoc.get(c2, 0) if c2 > cam_idx else m
+                        for c2, m in enumerate(assoc_maps)]
             self._generate_combinations(new_maps, base, cam_idx + 1, out, cap)
             return
         # null tracklet
         self._generate_combinations(assoc_maps, base, cam_idx + 1, out, cap)
-        for j, tid in enumerate(self.new_measurements[cam_idx]):
-            if not assoc_maps[cam_idx][j]:
-                continue
-            tk = self.tracklets[cam_idx][tid]
+        m = assoc_maps[cam_idx]
+        nm = self.new_measurements[cam_idx]
+        tks = self.tracklets[cam_idx]
+        while m:
+            j = (m & -m).bit_length() - 1
+            m &= m - 1
+            tid = nm[j]
+            assoc = tks[tid].assoc
             base2 = list(base)
             base2[cam_idx] = tid
-            new_maps = []
-            for c2 in range(self.num_cams):
-                m = assoc_maps[c2]
-                if c2 > cam_idx:
-                    m = m & tk.assoc.get(c2, np.zeros_like(m))
-                new_maps.append(m)
+            new_maps = [mm & assoc.get(c2, 0) if c2 > cam_idx else mm
+                        for c2, mm in enumerate(assoc_maps)]
             self._generate_combinations(new_maps, base2, cam_idx + 1, out,
                                         cap)
 
@@ -1202,7 +1226,7 @@ class Associator3D:
         if not any(self.new_measurements[c] for c in range(self.num_cams)):
             return ([], [])
         combos: List[Tuple[int, ...]] = []
-        maps = [np.ones(len(self.new_measurements[c]), bool)
+        maps = [(1 << len(self.new_measurements[c])) - 1
                 for c in range(self.num_cams)]
         cap = self.acfg.max_seed_combinations
         self._generate_combinations(maps, [-1] * self.num_cams, 0, combos,
@@ -1395,21 +1419,22 @@ class Associator3D:
         order += yng[len(est):] + est[len(yng):]
         per_track = self.acfg.spatial_branches_per_track
         parent_seq: List[int] = []
+        full = [(1 << len(self.new_measurements[c])) - 1
+                for c in range(self.num_cams)]
         for tid in order:
             if len(spatial_pairs) >= 8 * budget:
                 break   # reconstruction-batch bound
             tr = reg.tracks[tid]
             combo = tr.combination
-            maps = [np.ones(len(self.new_measurements[c]), bool)
-                    for c in range(self.num_cams)]
+            maps = list(full)
             for c in range(self.num_cams):
                 if combo[c] < 0:
                     continue
-                tk = self.tracklets[c][combo[c]]
+                assoc = self.tracklets[c][combo[c]].assoc
                 for c2 in range(self.num_cams):
-                    m = tk.assoc.get(c2)
-                    if m is not None and len(m) == len(maps[c2]):
-                        maps[c2] = maps[c2] & m
+                    m = assoc.get(c2)
+                    if m is not None:
+                        maps[c2] &= m
             branches: List[Tuple[int, ...]] = []
             self._generate_combinations(maps, list(combo), 0, branches,
                                         cap=2 * per_track)
@@ -1531,6 +1556,9 @@ class Associator3D:
                             candidates.append(cand)
 
         self.timer.pop()
+        # batched history/connectivity/RGB application decides the final
+        # candidate survivors
+        candidates = self._apply_history_batch(candidates, frame_idx)
         # The batched smoothing/scoring of this frame's updated tracks
         # (deferred from _update_tracks) + every branch candidate is fused
         # into the hypothesis solve (ONE device dispatch per frame).
@@ -1565,8 +1593,8 @@ class Associator3D:
         tr.cost_link_pos[-1] = -np.log(max(p_link, 1e-300))
         tr.invalidate_cost()
         tr.combination = tuple(combo)
-        if not self._apply_tracklet_history(tr, combo, frame_idx):
-            return None
+        # tracklet history + connectivity + RGB applied by the caller's
+        # batched _apply_history_batch pass
         return tr
 
     def _make_temporal_branch(self, frame_idx, paused: Track,
@@ -1610,8 +1638,7 @@ class Associator3D:
         tr.combination = seed.combination
         tr.time_end = seed.time_end
         tr.n_measured = tr.length
-        if not self._apply_tracklet_history(tr, seed.combination, frame_idx):
-            return None
+        # tracklet history applied by the caller's batched pass
         return tr
 
     def _clone_track(self, src: Track, new_id: int, frame_idx: int,
@@ -1643,41 +1670,69 @@ class Associator3D:
             cost_recon_pos=cp(src.cost_recon_pos),
             cost_link_pos=cp(src.cost_link_pos),
             cost_enter=src.cost_enter, cost_exit=0.0,
-            cost_rgb=src.cost_rgb, gt_prob=src.gt_prob,
+            cost_rgb=src.cost_rgb, cost_trimmed=src.cost_trimmed,
+            gt_prob=src.gt_prob,
             last_t_end=src.last_t_end.copy(),
             last_t_loc=src.last_t_loc.copy(),
             last_sens=src.last_sens.copy(),
             last_rgb=src.last_rgb.copy())
         return tr
 
-    def _apply_tracklet_history(self, tr: Track, combo, frame_idx) -> bool:
-        """Append newly inserted tracklets to the per-camera history with
-        connectivity + RGB costs (ref :1985-2031)."""
-        for c, t2 in enumerate(combo):
-            if t2 < 0:
+    def _apply_history_batch(self, cands: List[Track],
+                             frame_idx) -> List[Track]:
+        """Tracklet-history append + connectivity gate + RGB cost for a
+        whole candidate batch (ref :1985-2031), one vectorised pass per
+        camera — the per-candidate scalar version cost ~15 ms/frame at
+        bench density.  Returns the surviving candidates."""
+        if not cands:
+            return cands
+        acfg = self.acfg
+        tabs = self._tracklet_tables()
+        ok = np.ones(len(cands), bool)
+        for c in range(self.num_cams):
+            idxs = [i for i, tr in enumerate(cands)
+                    if ok[i] and tr.combination[c] >= 0
+                    and (not tr.tid_hist[c]
+                         or tr.tid_hist[c][-1] != tr.combination[c])]
+            if not idxs:
                 continue
-            tk = self.tracklets[c][t2]
-            hist = tr.tid_hist[c]
-            if not hist or hist[-1] != t2:
-                hist.append(t2)
-                if len(hist) > 1:
-                    gap = frame_idx - int(tr.last_t_end[c])
-                    d = np.linalg.norm(tr.last_t_loc[c] - tk.loc3d)
-                    thresh = max(self.acfg.cost_tracklet_link_min_dist,
-                                 self.acfg.e_cal + self.acfg.e_det
-                                 * (tr.last_sens[c] + tk.sensitivity))
-                    if gap <= 1 and d > thresh:
-                        return False
-                    tr.cost_rgb += _rgb_cost_np(
-                        tr.last_rgb[c], tk.rgb_head, float(gap),
-                        self.acfg.cost_rgb_min_dist, self.acfg.cost_rgb_coef,
-                        self.acfg.cost_rgb_decay)
-                    tr.invalidate_cost()
-            tr.last_rgb[c] = tk.rgb_tail
-            tr.last_t_loc[c] = tk.loc3d
-            tr.last_t_end[c] = frame_idx
-            tr.last_sens[c] = tk.sensitivity
-        return True
+            tids, tl, _, _, ts_, rh, rt = tabs[c]
+            t2s = np.asarray([cands[i].combination[c] for i in idxs])
+            pos = np.searchsorted(tids, t2s)
+            loc = tl[pos]
+            sens = ts_[pos]
+            first = np.asarray([not cands[i].tid_hist[c] for i in idxs])
+            last_end = np.asarray([cands[i].last_t_end[c] for i in idxs])
+            last_loc = np.stack([cands[i].last_t_loc[c] for i in idxs])
+            last_sens = np.asarray([cands[i].last_sens[c] for i in idxs])
+            last_rgb = np.stack([cands[i].last_rgb[c] for i in idxs])
+            gap = frame_idx - last_end
+            d = np.linalg.norm(last_loc - loc, axis=1)
+            thresh = np.maximum(acfg.cost_tracklet_link_min_dist,
+                                acfg.e_cal + acfg.e_det
+                                * (last_sens + sens))
+            fail = (~first) & (gap <= 1) & (d > thresh)
+            n2 = ((last_rgb - rh[pos]) ** 2).sum(-1)
+            rgbc = np.where(
+                (n2 <= acfg.cost_rgb_min_dist) | first, 0.0,
+                acfg.cost_rgb_coef
+                * np.exp(-acfg.cost_rgb_decay
+                         * (np.asarray(gap, np.float64) - 1.0))
+                * (n2 - acfg.cost_rgb_min_dist))
+            for k, i in enumerate(idxs):
+                if fail[k]:
+                    ok[i] = False
+                    continue
+                tr = cands[i]
+                tr.tid_hist[c].append(int(t2s[k]))
+                if rgbc[k]:
+                    tr.cost_rgb += float(rgbc[k])
+                tr.last_rgb[c] = rt[pos[k]]
+                tr.last_t_loc[c] = loc[k]
+                tr.last_t_end[c] = frame_idx
+                tr.last_sens[c] = sens[k]
+                tr.invalidate_cost()
+        return [tr for i, tr in enumerate(cands) if ok[i]]
 
     # ------------------------------------------------------------------
     # 7f. hypothesis formation (ref :2589-2834)
@@ -1840,18 +1895,34 @@ class Associator3D:
         have = np.zeros((nb, w), bool)
         pvalid = np.zeros((nb,), bool)
         t0_grid = frame_idx - w + 1
+        # ragged scatter: collect each track's in-grid slice, then land
+        # them all in two vectorised index assignments (the per-track
+        # slice-assign loop cost ~1/3 of hyp.prep at 1000-track pools)
+        rows_l: List[int] = []
+        k0_l: List[int] = []
+        ln_l: List[int] = []
+        vals: List[np.ndarray] = []
         for i, t in enumerate(pool):
             tr = reg.tracks[t]
             tree_ids[i] = tr.tree_id
             te = tr.time_start + tr.length - 1
             ts = max(tr.time_start, t0_grid)
             if te >= ts:
-                k0 = ts - t0_grid
                 s0 = ts - tr.time_start
                 ln = te - ts + 1
-                pos_grid[i, k0:k0 + ln] = tr.points[s0:s0 + ln]
-                have[i, k0:k0 + ln] = True
-            pvalid[i] = True
+                rows_l.append(i)
+                k0_l.append(ts - t0_grid)
+                ln_l.append(ln)
+                vals.append(tr.points[s0:s0 + ln])
+        pvalid[:n] = True
+        if rows_l:
+            ln_a = np.asarray(ln_l)
+            cum = np.cumsum(ln_a)
+            flat_i = np.repeat(np.asarray(rows_l), ln_a)
+            offs = np.arange(cum[-1]) - np.repeat(cum - ln_a, ln_a)
+            flat_k = np.repeat(np.asarray(k0_l), ln_a) + offs
+            pos_grid[flat_i, flat_k] = np.concatenate(vals, 0)
+            have[flat_i, flat_k] = True
         # pad rows get unique fake tree ids so they never count as same-tree
         tree_ids[n:] = -(np.arange(nb - n) + 2)
 
@@ -1873,6 +1944,7 @@ class Associator3D:
             if r >= 0 and int(lens[r]) >= gate:
                 s = int(starts[r])
                 hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
+                      + tr.cost_trimmed
                       + float(tr.cost_recon_pos[:s].sum()))
                 if s > 0:
                     hb += float(tr.cost_link_pos[:s + 1].sum())
@@ -1924,14 +1996,12 @@ class Associator3D:
                     shared=shared, pos_grid=pos_grid, have=have,
                     pvalid=pvalid)
         if self.deferred_solve:
-            # queue the device->host copy NOW: it streams over the (slow)
-            # tunnel while the next frame's host work runs, so collect()'s
-            # fetch finds the bytes already on the host
-            for a in jax.tree.leaves(out):
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    break
+            # background-thread fetch: the axon runtime executes + streams
+            # results only when a fetch arrives (copy_to_host_async is a
+            # no-op there), so the fetch must START now to overlap the
+            # next frame's host work (see parallel.mesh.AsyncFetch)
+            from mcmtt_opticalflow_tpu.parallel.mesh import AsyncFetch
+            pend["fetch"] = AsyncFetch(out)
             self._pending_solve = pend
             return
         self._collect_solve(pend)
@@ -1950,8 +2020,11 @@ class Associator3D:
         pos_grid, have, pvalid = p["pos_grid"], p["have"], p["pvalid"]
         all_solutions: List[Tuple[frozenset, float]] = []
         with self.timer.stage("hyp.solve"):
-            from mcmtt_opticalflow_tpu.parallel.mesh import fetch
-            ws, kb_masks, kb_scores = fetch(p["out"])
+            if "fetch" in p:
+                ws, kb_masks, kb_scores = p["fetch"].get()
+            else:
+                from mcmtt_opticalflow_tpu.parallel.mesh import fetch
+                ws, kb_masks, kb_scores = fetch(p["out"])
         with self.timer.stage("hyp.apply"):
             self._apply_window_scores(rescore, ws, lens, starts)
             self._finish_rescore(updated, candidates, seeds)
@@ -1980,6 +2053,8 @@ class Associator3D:
                 frame=frame_idx, n=n, weights=g_weights.astype(np.float32),
                 adj=g_adj, valid=g_valid, init_masks=init_masks.copy()))
         with self.timer.stage("hyp.collect"):
+            kb_masks = np.unpackbits(
+                np.asarray(kb_masks), axis=1).astype(bool)
             keep = kb_scores > _SOLVER_NEG / 2
             masks, scores = kb_masks[keep], kb_scores[keep]
             for m, s in zip(masks, scores):
@@ -2126,6 +2201,17 @@ class Associator3D:
         self.active_tracks = live(self.active_tracks)
         self.paused_tracks = live(self.paused_tracks)
         self.tracks_in_window = live(self.tracks_in_window)
+
+        # bound per-track position history: rows older than every
+        # consumer's reach (compat grid `win`, deferred-output window,
+        # temporal-branch gap) trim off with their costs folded into
+        # cost_trimmed — keeps branch clones and memory O(keep) on
+        # arbitrarily long sequences.  Hysteresis: trim in 16-row chunks.
+        keep = self.win + acfg.max_time_jump + 4
+        for tid in self.tracks_in_window:
+            tr = reg.tracks[tid]
+            if tr.length > keep + 16:
+                tr.trim_front(keep)
 
     # ------------------------------------------------------------------
     # result packaging (ref ResultWithTracks :3058-3168)

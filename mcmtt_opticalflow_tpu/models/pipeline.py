@@ -29,14 +29,14 @@ from mcmtt_opticalflow_tpu.models.tracker2d import (init_tracker2d_state,
 class TrackingEngine:
     def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
                  pipelined: bool = False, sidemaps=None, mesh=None):
-        """pipelined=True pipelines the engine two frames deep: the device
-        2D stage of frame t+1 overlaps the host-side 3D association of
-        frame t (SURVEY.md §2's frame-pipeline axis; the reference is
+        """pipelined=True pipelines the engine three frames deep: the
+        device 2D stage runs TWO frames ahead of the host-side 3D
+        association (SURVEY.md §2's frame-pipeline axis; the reference is
         strictly sequential per frame), and the 3D hypothesis solve of
         frame t runs while the host enumerates frame t+1 (the associator's
-        deferred_solve).  Results then trail the input by TWO frames:
-        process_frame(t) returns the frame t-2 result (None for the first
-        two); call flush() until it returns None to drain the tail.
+        deferred_solve).  Results then trail the input by THREE frames:
+        process_frame(t) returns the frame t-3 result (None for the first
+        three); call flush() until it returns None to drain the tail.
         Results are bit-identical to the sequential mode, only delayed.
 
         sidemaps: optional per-camera (sensitivity, boundary, stride)
@@ -116,7 +116,9 @@ class TrackingEngine:
         self.results: List[Track3DResult] = []
         self.timing: List[float] = []
         self.pipelined = pipelined
-        self._pending = None   # (frame_idx, out2d device arrays, host rgb u8)
+        # queue of up to 2 in-flight 2D frames:
+        # (frame_idx, AsyncFetch of 2D outputs, host rgb u8)
+        self._pending: List[tuple] = []
 
     def _put_cam(self, x):
         """Upload a camera-leading host array (sharded over 'cam' when a
@@ -211,31 +213,48 @@ class TrackingEngine:
         with self.assoc.timer.stage("upload"):
             gray = self._upload_gray(gray_u8)
 
-        with self.assoc.timer.stage("tracker2d"):
-            # dispatch is async: the device chews on this frame's 2D stage
-            # while (in pipelined mode) the host associates the previous one
-            self.state2d, out2d = self.step2d(
-                self.state2d, gray, self._put_cam(boxes),
-                self._put_cam(mask), self.cams, jnp.int32(self.frame_idx))
-
         if self.pipelined:
-            # start the device->host copy of this frame's 2D outputs NOW:
-            # by the time next frame's _associate fetches them, the bytes
-            # are already on the host (the fetch otherwise pays a full
-            # tunnel round trip, ~50 ms on axon)
-            for a in (out2d.ids, out2d.boxes, out2d.mask):
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    break
-            prev, self._pending = self._pending, (self.frame_idx, out2d, f)
-            if prev is None:
-                return None
-            prev_idx, prev_out, prev_rgb = prev
-            result = self._associate(prev_idx, prev_out, prev_rgb)
-            if result is None:       # deferred solve: first frame pending
+            # phase split around the 2D dispatch: the associator's phase 1
+            # (tracklet ingest + seed enumeration + collect of the
+            # in-flight solve) runs FIRST, so this frame's 2D program is
+            # enqueued AFTER the previous frame's hypothesis solve — the
+            # solve then completes with a full frame of host shadow
+            # instead of queueing behind ~60 ms of 2D device work
+            # Device/tunnel choreography.  The axon runtime is
+            # FETCH-DRIVEN and SERIAL: a program executes + streams its
+            # result only when its (background-thread) fetch arrives, one
+            # request at a time, so each frame's device work — the
+            # hypothesis solve (~45 ms exec+transfer) and the 2D step
+            # (~90 ms) — occupies the tunnel for ~135 ms that must overlap
+            # HOST work between dispatch and join.  One frame of lead
+            # (~35 ms to the 2D join) cannot cover that, so the 2D stage
+            # runs TWO frames ahead: process_frame(t) associates frame
+            # t-2, and every fetch joins with >= 2 frames of lead.
+            # Results are bit-identical to sequential mode, 3 frames late.
+            result = None
+            if len(self._pending) == 2:
+                prev_idx, prev_fetch, prev_rgb = self._pending.pop(0)
+                with self.assoc.timer.stage("get2d"):
+                    ids_np, boxes_np, mask_np = prev_fetch.get()
+                result = self.assoc.step_begin(prev_idx, ids_np, boxes_np,
+                                               mask_np, prev_rgb)
+                self.assoc.step_finish(prev_idx)
+            with self.assoc.timer.stage("tracker2d"):
+                self.state2d, out2d = self.step2d(
+                    self.state2d, gray, self._put_cam(boxes),
+                    self._put_cam(mask), self.cams,
+                    jnp.int32(self.frame_idx))
+            from mcmtt_opticalflow_tpu.parallel.mesh import AsyncFetch
+            out_fetch = AsyncFetch((out2d.ids, out2d.boxes, out2d.mask))
+            self._pending.append((self.frame_idx, out_fetch, f))
+            if result is None:       # pipeline still filling
                 return None
         else:
+            with self.assoc.timer.stage("tracker2d"):
+                self.state2d, out2d = self.step2d(
+                    self.state2d, gray, self._put_cam(boxes),
+                    self._put_cam(mask), self.cams,
+                    jnp.int32(self.frame_idx))
             result = self._associate(self.frame_idx, out2d, f)
         result.processing_time = time.perf_counter() - t0
         self.timing.append(result.processing_time)
@@ -254,10 +273,12 @@ class TrackingEngine:
         associated 2D frame, then the associator's in-flight hypothesis
         solve.  Call until it returns None."""
         result = None
-        if self._pending is not None:
-            prev_idx, prev_out, prev_rgb = self._pending
-            self._pending = None
-            result = self._associate(prev_idx, prev_out, prev_rgb)
+        if self._pending:
+            prev_idx, prev_fetch, prev_rgb = self._pending.pop(0)
+            with self.assoc.timer.stage("get2d"):
+                ids_np, boxes_np, mask_np = prev_fetch.get()
+            result = self.assoc.step(prev_idx, ids_np, boxes_np, mask_np,
+                                     prev_rgb)
         if result is None:
             result = self.assoc.collect()
         if result is not None:

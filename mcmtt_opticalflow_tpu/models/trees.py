@@ -139,14 +139,40 @@ class Track:
             setattr(self, name, buf[:n + 1])
         self._cost_cache = None
 
+    # position rows trimmed off the front of the history (their recon +
+    # link costs fold into this carried scalar; time_start advances by the
+    # trimmed count so absolute-frame indexing stays consistent)
+    cost_trimmed: float = 0.0
+
     def total_cost(self) -> float:
         """(ref GetCost, Associator3D.cpp:2567-2578)"""
         if self._cost_cache is None:
             self._cost_cache = (
-                self.cost_enter + float(self.cost_recon_pos.sum())
+                self.cost_enter + self.cost_trimmed
+                + float(self.cost_recon_pos.sum())
                 + float(self.cost_link_pos.sum()) + self.cost_rgb
                 + self.cost_exit)
         return self._cost_cache
+
+    def trim_front(self, keep: int) -> None:
+        """Drop all but the last `keep` position rows, folding the dropped
+        rows' costs into cost_trimmed and advancing time_start.  Bounds
+        per-track memory and branch-clone cost to O(keep) over arbitrarily
+        long sequences (the reference's deques grow unboundedly,
+        PSNWhere_Types.h:381).  Only rows older than every consumer's
+        reach may be trimmed — the engine trims to beyond the compat grid
+        / smoother / deferred-output windows."""
+        k = self.length - keep
+        if k <= 0:
+            return
+        self.cost_trimmed += (float(self.cost_recon_pos[:k].sum())
+                              + float(self.cost_link_pos[:k].sum()))
+        for name in self._POS_ARRAYS:
+            setattr(self, name, getattr(self, name)[k:].copy())
+        self.time_start += k
+        self.n_measured = max(self.n_measured - k, 0)
+        self.invalidate_buffers()
+        self._cost_cache = None
 
     def point_at(self, frame_idx: int, time_start: Optional[int] = None):
         """Smoothed position at an absolute frame, or None."""

@@ -52,7 +52,11 @@ def detect_grid_features(img: jnp.ndarray,
       points: [B, grid*grid, 2] feature (x, y) positions.
       valid:  [B, grid*grid] bool.
     """
-    resp = shi_tomasi_response(img)
+    # barrier: without it XLA fuses the response-map producer into the
+    # scattered point-sample consumer and RECOMPUTES the map per sample
+    # (~8 GB of attributed HBM traffic at bench config; with the barrier
+    # the map materializes once — scripts/tpu_2d_bisect.py)
+    resp = jax.lax.optimization_barrier(shi_tomasi_response(img))
     b = boxes.shape[0]
     n = grid * sub
     # normalized lattice in (0, 1), cell-centered
@@ -65,7 +69,11 @@ def detect_grid_features(img: jnp.ndarray,
     h, w = img.shape
     xi = jnp.clip(xy[..., 0].astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(xy[..., 1].astype(jnp.int32), 0, h - 1)
-    r = resp[yi, xi]                                    # [B, n*n]
+    # sample with FLAT 1-D index vectors: multi-dim index arrays make XLA
+    # lower the gather through a ~7 GB slice-per-row path at this shape,
+    # while the flattened form is a plain fast gather
+    # (scripts/tpu_gather_micro.py / tpu_2d_bisect.py)
+    r = resp[yi.reshape(-1), xi.reshape(-1)].reshape(yi.shape)  # [B, n*n]
     inb = ((xy[..., 0] >= 1) & (xy[..., 0] < w - 1)
            & (xy[..., 1] >= 1) & (xy[..., 1] < h - 1))
     r = jnp.where(inb, r, -jnp.inf)

@@ -33,7 +33,7 @@ BATCH = 8           # features per grid program
 
 
 def _make_kernel(window: int, iters: int, ph: int, pw: int):
-    def kernel(meta_ref,          # [N, 8] i32: cam, y0p, x0p, y0n, x0n
+    def kernel(meta_ref,          # [N, 6] i32: cam, y0p, x0p, y0n, x0n, act
                srcg_ref,          # [N, 4] f32: sy, sx (rel prev), gy, gx (rel next)
                prev_ref,          # [C, H, W] f32 ANY
                next_ref,          # [C, H, W] f32 ANY
@@ -52,18 +52,18 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
             for b in range(BATCH):
                 i = prog * BATCH + b
 
-                @pl.when(meta_ref[i, 5] > 0)
+                @pl.when(meta_ref[5, i] > 0)
                 def _():
-                    y0p = pl.multiple_of(meta_ref[i, 1], 8)
-                    x0p = pl.multiple_of(meta_ref[i, 2], 128)
-                    y0n = pl.multiple_of(meta_ref[i, 3], 8)
-                    x0n = pl.multiple_of(meta_ref[i, 4], 128)
+                    y0p = pl.multiple_of(meta_ref[1, i], 8)
+                    x0p = pl.multiple_of(meta_ref[2, i], 128)
+                    y0n = pl.multiple_of(meta_ref[3, i], 8)
+                    x0n = pl.multiple_of(meta_ref[4, i], 128)
                     pltpu.make_async_copy(
-                        prev_ref.at[meta_ref[i, 0], pl.ds(y0p, ph),
+                        prev_ref.at[meta_ref[0, i], pl.ds(y0p, ph),
                                     pl.ds(x0p, pw)],
                         pprev.at[dst_slot, b], sem.at[dst_slot, 2 * b]).start()
                     pltpu.make_async_copy(
-                        next_ref.at[meta_ref[i, 0], pl.ds(y0n, ph),
+                        next_ref.at[meta_ref[0, i], pl.ds(y0n, ph),
                                     pl.ds(x0n, pw)],
                         pnext.at[dst_slot, b],
                         sem.at[dst_slot, 2 * b + 1]).start()
@@ -132,7 +132,7 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
 
         for b in range(BATCH):
             i = g * BATCH + b
-            active = meta_ref[i, 5] > 0
+            active = meta_ref[5, i] > 0
 
             out_ref[b, 0] = 0.0
             out_ref[b, 1] = 0.0
@@ -151,10 +151,10 @@ def _make_kernel(window: int, iters: int, ph: int, pw: int):
                 pv_patch = pprev[slot, b]
                 nx_patch = pnext[slot, b]
 
-                sy = srcg_ref[i, 0] - half   # window top-left, prev patch
-                sx = srcg_ref[i, 1] - half
-                gy0 = srcg_ref[i, 2] - half  # guess top-left, next patch
-                gx0 = srcg_ref[i, 3] - half
+                sy = srcg_ref[0, i] - half   # window top-left, prev patch
+                sx = srcg_ref[1, i] - half
+                gy0 = srcg_ref[2, i] - half  # guess top-left, next patch
+                gx0 = srcg_ref[3, i] - half
 
                 src_ok = (sy >= lo) & (sy <= hi_y) & (sx >= lo) & (sx <= hi_x)
                 sy_c = jnp.clip(sy, lo, hi_y)
@@ -281,18 +281,18 @@ def _make_kernel_batched(window: int, iters: int, ph: int, pw: int):
             for b in range(BATCH):
                 i = prog * BATCH + b
 
-                @pl.when(meta_ref[i, 5] > 0)
+                @pl.when(meta_ref[5, i] > 0)
                 def _():
-                    y0p = pl.multiple_of(meta_ref[i, 1], 8)
-                    x0p = pl.multiple_of(meta_ref[i, 2], 128)
-                    y0n = pl.multiple_of(meta_ref[i, 3], 8)
-                    x0n = pl.multiple_of(meta_ref[i, 4], 128)
+                    y0p = pl.multiple_of(meta_ref[1, i], 8)
+                    x0p = pl.multiple_of(meta_ref[2, i], 128)
+                    y0n = pl.multiple_of(meta_ref[3, i], 8)
+                    x0n = pl.multiple_of(meta_ref[4, i], 128)
                     pltpu.make_async_copy(
-                        prev_ref.at[meta_ref[i, 0], pl.ds(y0p, ph),
+                        prev_ref.at[meta_ref[0, i], pl.ds(y0p, ph),
                                     pl.ds(x0p, pw)],
                         pprev.at[dst_slot, b], sem.at[dst_slot, 2 * b]).start()
                     pltpu.make_async_copy(
-                        next_ref.at[meta_ref[i, 0], pl.ds(y0n, ph),
+                        next_ref.at[meta_ref[0, i], pl.ds(y0n, ph),
                                     pl.ds(x0n, pw)],
                         pnext.at[dst_slot, b],
                         sem.at[dst_slot, 2 * b + 1]).start()
@@ -308,7 +308,7 @@ def _make_kernel_batched(window: int, iters: int, ph: int, pw: int):
         for b in range(BATCH):
             i = g * BATCH + b
 
-            @pl.when(meta_ref[i, 5] > 0)
+            @pl.when(meta_ref[5, i] > 0)
             def _():
                 pltpu.make_async_copy(
                     prev_ref.at[0, pl.ds(0, ph), pl.ds(0, pw)],
@@ -323,7 +323,7 @@ def _make_kernel_batched(window: int, iters: int, ph: int, pw: int):
             """Assemble [BATCH, 1, 1] from BATCH SMEM scalars."""
             out = jnp.zeros((BATCH, 1, 1), cast)
             for b in range(BATCH):
-                s = col_ref[g * BATCH + b, col]
+                s = col_ref[col, g * BATCH + b]
                 out = out + jnp.where(bi == b, cast(s), cast(0))
             return out
 
@@ -440,9 +440,11 @@ def _make_kernel_batched(window: int, iters: int, ph: int, pw: int):
     return kernel
 
 
-# feature-chunk size: keeps the scalar-prefetch operands within SMEM
-# (SMEM scalars are padded heavily; 512 features x 12 scalars fits)
-CHUNK = 512
+# feature-chunk size: keeps the scalar-prefetch operands within SMEM.
+# Rows pad to 512 B each, so the [col, N] operand layout costs ~10 rows
+# total regardless of N — the chunking only guards pathological feature
+# counts (the old [N, col] layout capped CHUNK at 512)
+CHUNK = 16384
 
 
 @functools.partial(jax.jit, static_argnames=("window", "iters", "interpret",
@@ -489,14 +491,18 @@ def lk_level_pallas(prev: jnp.ndarray,
     y0p, x0p = corner(points)
     y0n, x0n = corner(guess)
     cam32 = cam_idx.astype(jnp.int32)
-    zeros = jnp.zeros_like(cam32)
     if active is None:
         act32 = jnp.ones_like(cam32)
     else:
         act32 = active.astype(jnp.int32)
-    meta = jnp.stack([cam32, y0p, x0p, y0n, x0n, act32, zeros, zeros], -1)
+    # scalar-prefetch operands are laid out [col, N] (features on the
+    # minor axis): SMEM pads every ROW to 512 B, so the [N, col] layout
+    # cost 512 B per FEATURE per operand (1 MB at 1024 features — the old
+    # CHUNK=512 ceiling); transposed it is a handful of rows regardless
+    # of N, removing the chunking pressure entirely
+    meta = jnp.stack([cam32, y0p, x0p, y0n, x0n, act32], 0)
     srcg = jnp.stack([points[:, 1] - y0p, points[:, 0] - x0p,
-                      guess[:, 1] - y0n, guess[:, 0] - x0n], -1)
+                      guess[:, 1] - y0n, guess[:, 0] - x0n], 0)
 
     if variant == "batched":
         kernel = _make_kernel_batched(window, iters, ph, pw)
@@ -509,7 +515,7 @@ def lk_level_pallas(prev: jnp.ndarray,
         out_sds = lambda m: jax.ShapeDtypeStruct((m, 8), jnp.float32)
 
     def call_chunk(meta_c, srcg_c):
-        m = meta_c.shape[0]
+        m = meta_c.shape[1]
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -539,9 +545,10 @@ def lk_level_pallas(prev: jnp.ndarray,
     else:
         # chunk so the scalar-prefetch operands stay within SMEM limits
         pad = (-n) % CHUNK
-        meta_p = jnp.pad(meta, ((0, pad), (0, 0)))
-        srcg_p = jnp.pad(srcg, ((0, pad), (0, 0)))
-        chunks = [call_chunk(meta_p[i:i + CHUNK], srcg_p[i:i + CHUNK])
+        meta_p = jnp.pad(meta, ((0, 0), (0, pad)))
+        srcg_p = jnp.pad(srcg, ((0, 0), (0, pad)))
+        chunks = [call_chunk(meta_p[:, i:i + CHUNK],
+                             srcg_p[:, i:i + CHUNK])
                   for i in range(0, n + pad, CHUNK)]
         out = jnp.concatenate(chunks, axis=0)[:n]
 

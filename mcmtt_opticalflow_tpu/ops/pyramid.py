@@ -22,17 +22,24 @@ _K3 = np.asarray([1.0, 2.0, 1.0], np.float32) / 4.0
 
 
 def _sep_conv(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution with reflect padding. img: [..., H, W]."""
+    """Separable 2D convolution with edge padding. img: [..., H, W].
+
+    Written as explicit shifted adds rather than conv_general_dilated:
+    XLA lowers tiny-kernel convs on TPU through an im2col/GEMM path that
+    measured ~650 MB of HBM traffic per 4-camera 768x576 blur — the
+    shifted-add form stays elementwise on the VPU and fuses with its
+    consumers (scripts/tpu_2d_bisect.py)."""
     pad = (k.shape[0] - 1) // 2
-    shape = img.shape
-    x = img.reshape((-1, 1) + shape[-2:])               # [B, 1, H, W]
-    kv = k.reshape(1, 1, -1, 1)
-    kh = k.reshape(1, 1, 1, -1)
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    return x.reshape(shape)
+    h, w = img.shape[-2:]
+    kk = [float(v) for v in np.asarray(k)]
+    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (0, 0)],
+                mode="edge")
+    y = sum(kk[i] * jax.lax.slice_in_dim(x, i, i + h, axis=-2)
+            for i in range(len(kk)))
+    y = jnp.pad(y, [(0, 0)] * (img.ndim - 2) + [(0, 0), (pad, pad)],
+                mode="edge")
+    return sum(kk[i] * jax.lax.slice_in_dim(y, i, i + w, axis=-1)
+               for i in range(len(kk)))
 
 
 def gaussian_blur_3x3(img: jnp.ndarray) -> jnp.ndarray:

@@ -62,6 +62,39 @@ def shard_leaves(tree, sharding: NamedSharding):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+class AsyncFetch:
+    """Background-thread device->host fetch.
+
+    The axon remote-TPU runtime is FETCH-DRIVEN: dispatches are lazy,
+    `block_until_ready` acknowledges without completing, and arrays have
+    no working copy_to_host_async — results only materialize when a
+    blocking fetch arrives, so a fetch on the main thread serializes
+    ~30-50 ms of device + tunnel time into the frame.  Starting the fetch
+    on a thread right after dispatch overlaps that wait with host work
+    (the GIL is released during the network wait); get() joins."""
+
+    def __init__(self, tree):
+        import threading
+
+        self._out = None
+        self._err = None
+
+        def run():
+            try:
+                self._out = fetch(tree)
+            except BaseException as e:          # surfaced at get()
+                self._err = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def get(self):
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._out
+
+
 def fetch(tree):
     """device_get that also works under multi-process meshes: leaves whose
     shards live partly on other hosts (non-fully-addressable) are pulled

@@ -115,7 +115,8 @@ def main():
     cfg = EngineConfig(
         num_cameras=4, image_width=768, image_height=576,
         tracker2d=Tracker2DConfig(lk_pyramid_levels=2, lk_iterations=8,
-                                  max_detections=48, max_trackers=64),
+                                  max_detections=48, max_trackers=64,
+                                  max_features=int(os.environ.get('LAB_FEATS', 64))),
         assoc3d=Associator3DConfig(k_best_size=30),
         solver=SolverConfig(num_replicas=8, max_vertices=args.vmax,
                             max_iterations=150))

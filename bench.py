@@ -20,7 +20,8 @@ import time
 
 import numpy as np
 
-WARMUP = 5
+WARMUP = 7   # enough frames for the pool to reach its terminal batch
+#              buckets, so bucket compiles stay out of the measured window
 
 
 def main():

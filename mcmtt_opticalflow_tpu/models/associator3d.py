@@ -1885,9 +1885,11 @@ class Associator3D:
         # time grid [frame_idx - W + 1 .. frame_idx] so the device program
         # needs no per-pair index alignment
         self.timer.push("hyp.prep")
-        # graph bucket floored at 64 (n <= vmax always): one compile per
-        # coarse bucket, and exactly one for typical scenes
-        nb = min(_bucket(n, lo=64), vmax)
+        # graph bucket floored at min(256, vmax): padding is cheap, and a
+        # coarse floor keeps the fused-program compile count at <=3 per
+        # run (each ~8 s at V=1024 through the tunnel) so bucket compiles
+        # land in the bench's warmup frames instead of the measured window
+        nb = min(_bucket(n, lo=min(256, vmax)), vmax)
         tree_ids = np.full((nb,), -1, np.int32)
         shared = self._shared_matrix(pool, nb)
         w = self.win

@@ -1322,19 +1322,31 @@ class Associator3D:
         pts = np.stack([r[0] for _, r in oks])
         score = np.asarray([r[4] for _, r in oks]) + enter
         order = np.argsort(score, kind="stable")
-        prox2 = acfg.min_target_proximity ** 2
-        acc = np.empty((min(gcap, n), 3))
+        prox = acfg.min_target_proximity
+        prox2 = prox * prox
+        # spatial-hash greedy admission: accepted points bucket into
+        # prox-sized cells; each candidate checks only its 3x3 cell
+        # neighbourhood (exact distances) — O(n) instead of O(n * accepted)
+        cellx = np.floor(pts[:, 0] / prox).astype(np.int64)
+        celly = np.floor(pts[:, 1] / prox).astype(np.int64)
+        grid: Dict[Tuple[int, int], List[np.ndarray]] = {}
         na = 0
         out: List[Optional[float]] = [None] * n
         for i in order:
             if na >= gcap:
                 break
             p = pts[i]
-            if na:
-                d2 = ((acc[:na] - p) ** 2).sum(-1)
-                if int((d2 < prox2).sum()) >= per_cluster:
-                    continue
-            acc[na] = p
+            cx, cy = int(cellx[i]), int(celly[i])
+            near = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for q in grid.get((cx + dx, cy + dy), ()):
+                        d = p - q
+                        if d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < prox2:
+                            near += 1
+            if near >= per_cluster:
+                continue
+            grid.setdefault((cx, cy), []).append(p)
             na += 1
             out[i] = float(enter[i])
         self.seeds_suppressed_total += n - na

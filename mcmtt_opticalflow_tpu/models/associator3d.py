@@ -175,6 +175,9 @@ class Associator3D:
         self.seed_combos_truncated = 0
         # admission-gate containment telemetry (see _admit_seeds)
         self.seeds_suppressed_total = 0
+        # persistent (camera, tracklet id) -> integer code map for the
+        # tracklet-share relation (see _track_share_codes)
+        self._share_codes: Dict[Tuple[int, int], int] = {}
         # per-frame diagnostic counters (cheap ints; density_lab --debug
         # prints them): track deaths by cause + population composition
         self.diag: Dict[str, int] = {}
@@ -1749,32 +1752,48 @@ class Associator3D:
     # ------------------------------------------------------------------
     # 7f. hypothesis formation (ref :2589-2834)
     # ------------------------------------------------------------------
+    def _track_share_codes(self, tr: Track) -> np.ndarray:
+        """Global integer codes of every (camera, tracklet id) in the
+        track's history, cached on the track (hist length invalidates);
+        histories only grow on rotation frames, so ~all lookups hit."""
+        hl = sum(map(len, tr.tid_hist))
+        cached = tr._share_cache
+        if cached is not None and cached[0] == hl:
+            return cached[1]
+        codes = self._share_codes
+        out = []
+        for c, hist in enumerate(tr.tid_hist):
+            for t2 in hist:
+                k = (c, t2)
+                v = codes.get(k)
+                if v is None:
+                    v = len(codes)
+                    codes[k] = v
+                out.append(v)
+        arr = np.asarray(out, np.int64)
+        tr._share_cache = (hl, arr)
+        return arr
+
     def _shared_matrix(self, pool: List[int], nb: int) -> np.ndarray:
         """[nb, nb] bool: tracks i and j share a 2D tracklet id in any
         camera, over their FULL id histories — the exact relation the
         reference computes by scanning both tracks' complete per-camera
         deques (ref CheckIncompatibility, Associator3D.cpp:2422-2466; its
         first/back range tests there are monotone-id skip optimisations,
-        not semantics).  One sparse incidence product replaces the O(N^2 *
-        |hist|^2) pairwise scan."""
+        not semantics).  One sparse incidence product over per-track
+        cached code arrays replaces the O(N^2 * |hist|^2) pairwise scan."""
         from scipy import sparse
 
         reg = self.registry
-        codes: Dict[Tuple[int, int], int] = {}
-        rows: List[int] = []
-        cols: List[int] = []
-        for i, t in enumerate(pool):
-            tr = reg.tracks[t]
-            for c in range(self.num_cams):
-                for tid2 in tr.tid_hist[c]:
-                    code = codes.setdefault((c, tid2), len(codes))
-                    rows.append(i)
-                    cols.append(code)
+        code_arrs = [self._track_share_codes(reg.tracks[t]) for t in pool]
+        lens = np.asarray([len(a) for a in code_arrs])
         shared = np.zeros((nb, nb), bool)
-        if codes:
+        if lens.sum():
+            rows = np.repeat(np.arange(len(pool)), lens)
+            cols = np.concatenate(code_arrs)
             m = sparse.csr_matrix(
                 (np.ones(len(rows), np.int8), (rows, cols)),
-                shape=(len(pool), len(codes)))
+                shape=(len(pool), len(self._share_codes)))
             shared[:len(pool), :len(pool)] = (m @ m.T).toarray() > 0
         return shared
 

@@ -100,6 +100,10 @@ class Track:
         default=None, repr=False, compare=False)
     _bufs: dict = dataclasses.field(
         default_factory=dict, repr=False, compare=False)
+    # (hist_len, codes-ndarray) cache for the tracklet-share incidence
+    # (associator3d._shared_matrix); hist length is the invalidation key
+    _share_cache: Optional[Tuple[int, np.ndarray]] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def length(self) -> int:

@@ -929,45 +929,66 @@ class Associator3D:
 
         live: List[Track] = []
         pausing: List[Track] = []
+        acfg = self.acfg
+        trs: List[Track] = []
         for tid in self.active_tracks:
             tr = reg.tracks.get(tid)
-            if tr is None or not tr.valid:
-                continue
-            # refresh current combination against tracklet liveness
-            combo = list(tr.combination)
-            killed = False
-            for c in range(self.num_cams):
-                t2 = combo[c]
-                if t2 < 0:
-                    continue
-                tk = self.tracklets[c].get(t2)
-                if tk is None or not tk.activated:
-                    # a deactivated tracklet shorter than the minimum kills
-                    # the whole branch (ref MIN_TRACKLET_LENGTH gate,
-                    # Associator3D.cpp:1399-1404; a no-op at the default 1)
-                    if (tk is not None and not tk.activated
-                            and tk.duration < self.acfg.min_tracklet_length):
-                        reg.set_branch_validity(tid, False)
-                        killed = True
-                        break
-                    combo[c] = -1
+            if tr is not None and tr.valid:
+                trs.append(tr)
+        if trs:
+            # combination refresh against tracklet liveness, vectorised
+            # per camera over the whole active set (the per-track dict
+            # walk cost ~10 ms/frame at density)
+            nc = self.num_cams
+            combos = np.asarray([tr.combination for tr in trs], np.int64)
+            new_combos = combos.copy()
+            tabs = self._tracklet_tables()
+            for c in range(nc):
+                tids, tl, _tt, _tb, ts_, _rh, rt = tabs[c]
+                col = combos[:, c]
+                if len(tids):
+                    pos = np.searchsorted(tids, col)
+                    safe = np.clip(pos, 0, len(tids) - 1)
+                    h = (col >= 0) & (pos < len(tids)) & (tids[safe] == col)
                 else:
+                    h = np.zeros(len(trs), bool)
+                    safe = np.zeros(len(trs), np.int64)
+                miss = (col >= 0) & ~h
+                new_combos[miss, c] = -1
+                if acfg.min_tracklet_length > 1 and miss.any():
+                    # a deactivated tracklet shorter than the minimum
+                    # kills the whole branch (ref MIN_TRACKLET_LENGTH
+                    # gate, Associator3D.cpp:1399-1404; dead at the
+                    # default of 1, so only non-default configs pay this)
+                    for i in np.flatnonzero(miss):
+                        tk = self.tracklets[c].get(int(col[i]))
+                        if (tk is not None and not tk.activated
+                                and tk.duration < acfg.min_tracklet_length):
+                            reg.set_branch_validity(trs[i].id, False)
+                loc = tl[safe]
+                sens = ts_[safe]
+                rtl = rt[safe]
+                for i in np.flatnonzero(h):
+                    tr = trs[i]
                     tr.last_t_end[c] = frame_idx
-                    tr.last_t_loc[c] = tk.loc3d
-                    tr.last_sens[c] = tk.sensitivity
-                    tr.last_rgb[c] = tk.rgb_tail
-            if killed:
-                continue
-            tr.combination = tuple(combo)
-
-            if all(t2 < 0 for t2 in combo):
-                # pause: exit cost from the last per-camera locations
-                # (batched over all pausing tracks below)
-                tr.active = False
-                pausing.append(tr)
-                self.paused_tracks.append(tid)
-                continue
-            live.append(tr)
+                    tr.last_t_loc[c] = loc[i]
+                    tr.last_sens[c] = sens[i]
+                    tr.last_rgb[c] = rtl[i]
+            changed = (new_combos != combos).any(1)
+            dead_all = (new_combos < 0).all(1)
+            for i, tr in enumerate(trs):
+                if not tr.valid:        # killed by the min-length gate
+                    continue
+                if changed[i]:
+                    tr.combination = tuple(map(int, new_combos[i]))
+                if dead_all[i]:
+                    # pause: exit cost from the last per-camera locations
+                    # (batched over all pausing tracks below)
+                    tr.active = False
+                    pausing.append(tr)
+                    self.paused_tracks.append(tr.id)
+                else:
+                    live.append(tr)
 
         if pausing:
             pb = np.stack([tr.last_t_loc for tr in pausing])

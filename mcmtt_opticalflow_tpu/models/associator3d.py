@@ -965,6 +965,12 @@ class Associator3D:
                         if (tk is not None and not tk.activated
                                 and tk.duration < acfg.min_tracklet_length):
                             reg.set_branch_validity(trs[i].id, False)
+                if not len(tids):
+                    # empty tracklet table for this camera: h is all-False
+                    # so there is nothing to gather — and tl[safe] on an
+                    # empty table would IndexError (the reference's dict
+                    # lookup simply misses here, Associator3D.cpp:1386-1421)
+                    continue
                 loc = tl[safe]
                 sens = ts_[safe]
                 rtl = rt[safe]

@@ -52,6 +52,7 @@ def feed_frame(assoc, sc, t, next_id=None):
     return assoc.step(t, ids, boxes, mask, rgb)
 
 
+@pytest.mark.smoke
 class TestAssociator:
     def test_first_frame_builds_tracklets_and_seeds(self, assoc_and_scenario):
         assoc, sc = assoc_and_scenario
@@ -403,6 +404,42 @@ class TestMinTrackletLength:
                 assert not survivors, survivors
             else:
                 assert survivors
+
+
+@pytest.mark.smoke
+class TestEmptyCamera:
+    def test_camera_with_zero_tracklets_while_tracks_live(self):
+        """A camera reporting zero detections for several consecutive
+        frames empties its active-tracklet table while 3D tracks remain
+        live.  The reference tolerates this trivially (the per-track dict
+        lookup just misses, Associator3D.cpp:1386-1421); the vectorised
+        combination refresh must skip the gather instead of IndexErroring
+        on the empty table (round-4 regression at associator3d.py:968)."""
+        sc = make_scenario(num_cameras=2, num_frames=8, num_people=3,
+                           image_size=(256, 192), arena=2000.0, seed=11)
+        assoc = Associator3D(small_cfg(), sc.cameras)
+        feed_frame(assoc, sc, 0)
+        feed_frame(assoc, sc, 1)
+        assert assoc.active_tracks
+        c = len(sc.cameras)
+        # frames 2..6: camera 0 goes dark; camera 1 keeps reporting.
+        # Tracks must stay alive on the single-view branch and the engine
+        # must not crash once camera 0's tracklet table is fully empty.
+        for t in range(2, 7):
+            ids = np.zeros((c, 16), np.int64)
+            boxes = np.zeros((c, 16, 4), np.float32)
+            mask = np.zeros((c, 16), bool)
+            for j, b in enumerate(sc.detections[t][1][:16]):
+                ids[1, j] = j
+                boxes[1, j] = b
+                mask[1, j] = True
+            r = assoc.step(t, ids, boxes, mask,
+                           jnp.asarray(np.stack(sc.frames(t))))
+            assert r is not None
+        assert not assoc.active_tracklets[0]
+        # camera 0 comes back: the engine recovers without error
+        r = feed_frame(assoc, sc, 7)
+        assert r is not None
 
 
 class TestPoolOverflow:

@@ -1,6 +1,9 @@
 """CLEAR-MOT evaluator tests on constructed toy scenarios."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from mcmtt_opticalflow_tpu.eval import (ClearMotAccumulator,
                                         evaluate_clear_mot)

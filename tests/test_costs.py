@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 from scipy.special import erfc as scipy_erfc
 
+pytestmark = pytest.mark.smoke
+
 from mcmtt_opticalflow_tpu.config import Associator3DConfig, EngineConfig
 from mcmtt_opticalflow_tpu.models.costs import (
     link_probability, reconstruction_probability, enter_probability,

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from mcmtt_opticalflow_tpu.geometry import (
     TsaiCamera, stack_cameras, world_to_image, image_to_world,
     back_projection_line, check_visibility, camera_position,

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from mcmtt_opticalflow_tpu.ops import (
     sg_smooth, sg_smooth_masked, sg_smoothing_matrix,
     solve_assignment, hungarian_host, rgb_histogram,

@@ -40,6 +40,7 @@ def engine_run(scenario):
     return eng, results
 
 
+@pytest.mark.smoke
 class TestPipelineE2E:
     def test_tracks_exist(self, engine_run):
         eng, results = engine_run

@@ -178,6 +178,9 @@ class Associator3D:
         # persistent (camera, tracklet id) -> integer code map for the
         # tracklet-share relation (see _track_share_codes)
         self._share_codes: Dict[Tuple[int, int], int] = {}
+        # per-frame cache for the batched combination enumerator
+        # (False = not built this frame; None = >64-measurement fallback)
+        self._combo_tabs = False
         # per-frame diagnostic counters (cheap ints; density_lab --debug
         # prints them): track deaths by cause + population composition
         self.diag: Dict[str, int] = {}
@@ -617,7 +620,28 @@ class Associator3D:
         self._tk_tables = tabs
         return tabs
 
-    def _reconstruct_batch(self, combos: List[Tuple[int, ...]]):
+    def _recon_cost_batch(self, point: np.ndarray, mask: np.ndarray,
+                          prob: np.ndarray) -> np.ndarray:
+        """Reconstruction cost from geometry probability + the FP/FN
+        detection likelihood ratio over pad-visible cameras (ref :900-912
+        + CheckVisibility :718-733).  Split out of _reconstruct_batch so
+        callers that discard most candidates (spatial branching) can
+        compute it for survivors only — the per-camera visibility
+        projections (2 distortion inversions per camera) are the dominant
+        host cost of reconstruction at bench density."""
+        n = len(point)
+        ratio = np.ones(n)
+        a = self.acfg
+        for c, hc in enumerate(self.host_cams):
+            vis = np.asarray(hc.visible(point, a.default_height)).reshape(n)
+            f = np.where(mask[:, c], (1 - a.fp_rate) / a.fp_rate,
+                         a.fn_rate / (1 - a.fn_rate))
+            ratio *= np.where(vis, f, 1.0)
+        p = np.clip(prob, 1e-12, 1 - 1e-12)
+        return np.log(1 - p) - np.log(p) - np.log(ratio)
+
+    def _reconstruct_batch(self, combos: List[Tuple[int, ...]],
+                           skip_cost: bool = False):
         """Vectorised `_reconstruct` over a list of combinations, both
         detection modes.  One numpy pass replaces N Python-loop
         reconstructions — the host-side cost of the reference's per-branch
@@ -625,7 +649,10 @@ class Associator3D:
         Associator3D.cpp:1885-2047; head mode :857-884 + :930-982).
 
         Returns a list aligned with `combos` of
-        (point, raw_points, raw_mask, max_error, cost) or None."""
+        (point, raw_points, raw_mask, max_error, cost) or None.  With
+        skip_cost=True the cost slot holds the geometry PROBABILITY
+        instead (feed it to _recon_cost_batch for the rows that
+        survive)."""
         n = len(combos)
         if n == 0:
             return []
@@ -698,18 +725,10 @@ class Associator3D:
                         0.5 * _erfc(4.0 * mean_dist
                                     / np.maximum(max_err, 1e-12) - 2.0))
         ok = (num > 0) & (single | (mean_dist <= max_err))
-        # detection likelihood ratio over cameras where the point is
-        # visible with the body-height pad (ref :900-912 + :718-733),
-        # vectorised per camera
-        ratio = np.ones(n)
-        a = self.acfg
-        for c, hc in enumerate(self.host_cams):
-            vis = np.asarray(hc.visible(point, a.default_height)).reshape(n)
-            f = np.where(mask[:, c], (1 - a.fp_rate) / a.fp_rate,
-                         a.fn_rate / (1 - a.fn_rate))
-            ratio *= np.where(vis, f, 1.0)
-        p = np.clip(prob, 1e-12, 1 - 1e-12)
-        cost = np.log(1 - p) - np.log(p) - np.log(ratio)
+        if skip_cost:
+            cost = prob
+        else:
+            cost = self._recon_cost_batch(point, mask, prob)
         return [
             (point[i], locs[i], mask[i], float(max_err[i]), float(cost[i]))
             if ok[i] else None
@@ -798,6 +817,7 @@ class Associator3D:
     # ------------------------------------------------------------------
     def _update_tracklets(self, frame_idx, ids, boxes, mask, rgb_frames):
         self._tk_tables = None   # invalidate the per-frame lookup tables
+        self._combo_tabs = False  # invalidate the enumerator tables
         # Tracklet ingest runs on host: the batch is tens of boxes per
         # camera, far below the size where a device dispatch pays for
         # itself (the heavy per-frame device programs are the 2D tracker,
@@ -1005,8 +1025,10 @@ class Associator3D:
             costs = self._exit_cost_batch(
                 pb, pm, np.asarray([tr.duration for tr in pausing]))
             for tr, cx in zip(pausing, costs):
+                # delta-update the cost memo instead of invalidating
+                if tr._cost_cache is not None:
+                    tr._cost_cache += float(cx) - tr.cost_exit
                 tr.cost_exit = float(cx)
-                tr.invalidate_cost()
 
         recs = self._reconstruct_batch([tr.combination for tr in live])
         ok_idx = [i for i, r in enumerate(recs) if r is not None]
@@ -1172,10 +1194,17 @@ class Associator3D:
             velocity = np.where(
                 (speed > self.acfg.min_moving_speed)[..., None],
                 velocity, 0.0)
-        cost_r = res.cost_recon
-        cost_l = res.cost_link
+        cost_r = np.asarray(res.cost_recon, np.float64)
+        cost_l = np.asarray(res.cost_link, np.float64)
         valid = res.valid
         gate = self.acfg.sg_span // 2
+        # batched window-cost sums (one vectorised pass; feeds the direct
+        # cost-memo refresh below instead of invalidating ~pool-size memos
+        # that the next frame's ordering passes would each re-sum)
+        lens_a = np.asarray(lens)
+        in_win = np.arange(cost_r.shape[1])[None, :] < lens_a[:, None]
+        sum_r = (cost_r * in_win).sum(1)
+        sum_l = (cost_l * in_win).sum(1)
         for i, tr in enumerate(tracks):
             ln = int(lens[i])
             s = int(starts[i])
@@ -1190,14 +1219,21 @@ class Associator3D:
                 # replaces them once smoothing kicks in (ref :1475-1511)
                 continue
             tr.cost_recon_pos[s:] = cost_r[i, :ln]
-            tr.invalidate_cost()
             if s > 0:
                 # the device zeroes window position 0's link cost (its
                 # predecessor lies outside the window); the seam link
                 # (s-1, s) keeps its previously computed value
                 tr.cost_link_pos[s + 1:] = cost_l[i, 1:ln]
+                prefix = (float(tr.cost_recon_pos[:s].sum())
+                          + float(tr.cost_link_pos[:s + 1].sum()))
+                link_new = float(sum_l[i]) - float(cost_l[i, 0])
             else:
                 tr.cost_link_pos[:] = cost_l[i, :ln]
+                prefix = 0.0
+                link_new = float(sum_l[i])
+            tr._cost_cache = (tr.cost_enter + tr.cost_trimmed + tr.cost_rgb
+                              + tr.cost_exit + prefix
+                              + float(sum_r[i]) + link_new)
 
     # ------------------------------------------------------------------
     # 7b. combination generation (ref :1283-1336)
@@ -1239,6 +1275,104 @@ class Associator3D:
             self._generate_combinations(new_maps, base2, cam_idx + 1, out,
                                         cap)
 
+    def _combo_tables(self):
+        """Per-frame cache for the batched enumerator: per camera, the
+        new-measurement tracklet ids as an int64 array plus each new
+        tracklet's associability masks to every camera as a [n_c, C]
+        uint64 matrix.  None when any camera has > 64 new measurements
+        (the uint64 bit-matrix can't hold the mask; callers fall back to
+        the exact recursive enumerator)."""
+        if self._combo_tabs is not False:
+            return self._combo_tabs
+        C = self.num_cams
+        tabs = []
+        for c in range(C):
+            nm = self.new_measurements[c]
+            if len(nm) > 64:
+                self._combo_tabs = None
+                return None
+            A = np.zeros((len(nm), C), np.uint64)
+            tks = self.tracklets[c]
+            for j, tid in enumerate(nm):
+                assoc = tks[tid].assoc
+                for c2 in range(C):
+                    A[j, c2] = assoc.get(c2, 0)
+            tabs.append((np.asarray(nm, np.int64), A))
+        self._combo_tabs = tabs
+        return tabs
+
+    def _generate_combinations_batch(self, bases: np.ndarray,
+                                     maps0: np.ndarray, cap: int):
+        """Vectorised combination enumeration for a whole batch of roots
+        at once — numerically identical output (same combinations, same
+        DFS/lexicographic emission order, same cap-prefix semantics) to
+        running `_generate_combinations` per root, at ~1/10 the host cost
+        (the recursion was ~9600 Python calls/frame at bench density; ref
+        GenerateTrackletCombinations, Associator3D.cpp:1283-1336).
+
+        The level-by-level expansion keeps partial states in DFS order
+        (null choice first, then admissible bits ascending), so trimming
+        each root's partials to its first `cap` is exact: every partial
+        completes at least once (the all-null suffix), in root-blocked
+        lexicographic order.
+
+        Args:
+          bases: [T, C] int64 — fixed tracklet ids per camera (-1 free).
+            Rows must be pre-ANDed into maps0 for their fixed cameras
+            (as _branch_tracks does).
+          maps0: [T, C] uint64 admissibility bitmasks.
+          cap:   per-root emission cap.
+        Returns (root_idx [N] int64, combos [N, C] int64) or None when the
+        >64-measurement fallback applies."""
+        tabs = self._combo_tables()
+        if tabs is None:
+            return None
+        T, C = bases.shape
+        root = np.arange(T, dtype=np.int64)
+        choices = bases.copy()
+        masks = maps0.astype(np.uint64, copy=True)
+        for c in range(C):
+            nm_c, A_c = tabs[c]
+            free = choices[:, c] < 0
+            m = np.where(free, masks[:, c], np.uint64(0))
+            # ascending bit positions per partial, vectorised: little-
+            # endian unpack of the 8 mask bytes -> [P, 64] bit matrix
+            bits_mat = np.unpackbits(
+                m[:, None].view(np.uint8), axis=1,
+                bitorder="little").astype(bool)
+            pcount = bits_mat.sum(1)
+            counts = 1 + pcount
+            ends = np.cumsum(counts)
+            starts_b = ends - counts
+            parent = np.repeat(np.arange(len(counts)), counts)
+            nchoices = choices[parent]
+            nmasks = masks[parent]
+            nroot = root[parent]
+            pr, bit = np.nonzero(bits_mat)
+            if len(pr):
+                rank = np.arange(len(pr)) - np.repeat(
+                    np.cumsum(pcount) - pcount, pcount)
+                dest = starts_b[pr] + 1 + rank
+                nchoices[dest, c] = nm_c[bit]
+                if c + 1 < C:
+                    nmasks[dest, c + 1:] &= A_c[bit, c + 1:]
+            choices, masks, root = nchoices, nmasks, nroot
+            # per-root cap: roots arrive blocked and in order, so rank
+            # within the root segment is positional
+            if len(root):
+                seg_new = np.empty(len(root), bool)
+                seg_new[0] = True
+                np.not_equal(root[1:], root[:-1], out=seg_new[1:])
+                seg_start = np.flatnonzero(seg_new)
+                seg_len = np.diff(np.append(seg_start, len(root)))
+                rank_in_seg = (np.arange(len(root))
+                               - np.repeat(seg_start, seg_len))
+                keep = rank_in_seg < cap
+                if not keep.all():
+                    choices, masks, root = (choices[keep], masks[keep],
+                                            root[keep])
+        return root, choices
+
     # ------------------------------------------------------------------
     # seeds (ref Track3D_GenerateSeedTracks :1727-1819)
     # ------------------------------------------------------------------
@@ -1259,8 +1393,14 @@ class Associator3D:
         maps = [(1 << len(self.new_measurements[c])) - 1
                 for c in range(self.num_cams)]
         cap = self.acfg.max_seed_combinations
-        self._generate_combinations(maps, [-1] * self.num_cams, 0, combos,
-                                    cap=cap)
+        batch = self._generate_combinations_batch(
+            np.full((1, self.num_cams), -1, np.int64),
+            np.asarray([maps], np.uint64), cap)
+        if batch is not None:
+            combos = [tuple(row) for row in batch[1].tolist()]
+        else:
+            self._generate_combinations(maps, [-1] * self.num_cams, 0,
+                                        combos, cap=cap)
         if len(combos) >= cap:
             self.seed_combos_truncated += 1
         combos = [c for c in combos if any(t >= 0 for t in c)]
@@ -1317,9 +1457,11 @@ class Associator3D:
                 new_tracks.append(tr)
                 seeds.append(tr.id)
         for tr, ce in zip(new_tracks, enter_costs):
-            # enter cost precomputed by _admit_seeds' batched pass
+            # enter cost precomputed by _admit_seeds' batched pass; a
+            # 1-position seed's total is enter + its recon cost (link,
+            # rgb, exit all zero) — set the memo directly
             tr.cost_enter = float(ce)
-            tr.invalidate_cost()
+            tr._cost_cache = tr.cost_enter + float(tr.cost_recon_pos[0])
         return seeds
 
     def _admit_seeds(self, oks) -> List[Optional[float]]:
@@ -1461,38 +1603,75 @@ class Associator3D:
         order += yng[len(est):] + est[len(yng):]
         per_track = self.acfg.spatial_branches_per_track
         parent_seq: List[int] = []
+        nc = self.num_cams
         full = [(1 << len(self.new_measurements[c])) - 1
-                for c in range(self.num_cams)]
+                for c in range(nc)]
+        # per-root admissibility maps: the track's fixed tracklets AND
+        # their associability into every camera (python-int ANDs; ~4 dict
+        # gets per track — cheap next to the enumeration itself)
+        roots_maps: List[List[int]] = []
+        roots_tr: List[Track] = []
         for tid in order:
-            if len(spatial_pairs) >= 8 * budget:
-                break   # reconstruction-batch bound
             tr = reg.tracks[tid]
             combo = tr.combination
             maps = list(full)
-            for c in range(self.num_cams):
+            for c in range(nc):
                 if combo[c] < 0:
                     continue
                 assoc = self.tracklets[c][combo[c]].assoc
-                for c2 in range(self.num_cams):
+                for c2 in range(nc):
                     m = assoc.get(c2)
                     if m is not None:
                         maps[c2] &= m
-            branches: List[Tuple[int, ...]] = []
-            self._generate_combinations(maps, list(combo), 0, branches,
-                                        cap=2 * per_track)
-            had = False
-            for br in branches:
-                if br != combo:
-                    spatial_pairs.append((tr, br))
-                    had = True
-            if had:
-                parent_seq.append(tr.id)
+            roots_maps.append(maps)
+            roots_tr.append(tr)
+        batch = None
+        if roots_tr:
+            batch = self._generate_combinations_batch(
+                np.asarray([tr.combination for tr in roots_tr], np.int64),
+                np.asarray(roots_maps, np.uint64), 2 * per_track)
+        if batch is not None:
+            root_idx, combos_arr = batch
+            combos_list = combos_arr.tolist()
+            # contiguous per-root segments, in `order` order
+            seg_bounds = np.flatnonzero(
+                np.diff(root_idx, prepend=-1)).tolist() + [len(root_idx)]
+            for k in range(len(seg_bounds) - 1):
+                if len(spatial_pairs) >= 8 * budget:
+                    break   # reconstruction-batch bound
+                tr = roots_tr[int(root_idx[seg_bounds[k]])]
+                combo = tr.combination
+                had = False
+                for ri in range(seg_bounds[k], seg_bounds[k + 1]):
+                    br = tuple(combos_list[ri])
+                    if br != combo:
+                        spatial_pairs.append((tr, br))
+                        had = True
+                if had:
+                    parent_seq.append(tr.id)
+        else:
+            for i, tr in enumerate(roots_tr):
+                if len(spatial_pairs) >= 8 * budget:
+                    break   # reconstruction-batch bound
+                combo = tr.combination
+                branches: List[Tuple[int, ...]] = []
+                self._generate_combinations(roots_maps[i], list(combo), 0,
+                                            branches, cap=2 * per_track)
+                had = False
+                for br in branches:
+                    if br != combo:
+                        spatial_pairs.append((tr, br))
+                        had = True
+                if had:
+                    parent_seq.append(tr.id)
 
         self.timer.pop()
-        # batch-reconstruct all spatial branch combinations, then batch the
-        # link probabilities for the survivors
+        # batch-reconstruct all spatial branch combinations (geometry
+        # only — the visibility-ratio cost pass runs later, for the
+        # materialized survivors only), then batch the link probabilities
         self.timer.push("branch.spawn")
-        recs = self._reconstruct_batch([br for _, br in spatial_pairs])
+        recs = self._reconstruct_batch([br for _, br in spatial_pairs],
+                                       skip_cost=True)
         ok_idx = [i for i, r in enumerate(recs) if r is not None]
         if ok_idx:
             prev_pts = np.stack([
@@ -1508,11 +1687,13 @@ class Associator3D:
                     continue
                 parent = spatial_pairs[i][0]
                 groups.setdefault(parent.id, []).append((i, float(p_links[j])))
-            # round-robin materialization: every parent gets its first
-            # branch before any parent gets its second
+            # round-robin selection: every parent gets its first branch
+            # before any parent gets its second
+            chosen: List[Tuple[int, float]] = []
             ptr = {pid: 0 for pid in groups}
+            quota = budget - len(candidates)
             progress = True
-            while len(candidates) < budget and progress:
+            while len(chosen) < quota and progress:
                 progress = False
                 for pid in parent_seq:
                     lst = groups.get(pid)
@@ -1523,14 +1704,22 @@ class Associator3D:
                         continue
                     ptr[pid] = k + 1
                     progress = True
-                    i, pl = lst[k]
+                    chosen.append(lst[k])
+                    if len(chosen) >= quota:
+                        break
+            if chosen:
+                sel = [i for i, _ in chosen]
+                costs = self._recon_cost_batch(
+                    np.stack([recs[i][0] for i in sel]),
+                    np.stack([recs[i][2] for i in sel]),
+                    np.asarray([recs[i][4] for i in sel]))
+                for (i, pl), cx in zip(chosen, costs):
                     parent, br = spatial_pairs[i]
+                    rec = recs[i][:4] + (float(cx),)
                     cand = self._make_spatial_branch(
-                        frame_idx, parent, br, recs[i], pl)
+                        frame_idx, parent, br, rec, pl)
                     if cand is not None:
                         candidates.append(cand)
-                    if len(candidates) >= budget:
-                        break
 
         self.timer.pop()
         # ---- temporal branching ------------------------------------------
@@ -1631,9 +1820,12 @@ class Associator3D:
         tr.raw_mask[-1] = rmask
         tr.max_error[-1] = max_err
         tr.is_meas[-1] = True
+        new_link = -np.log(max(p_link, 1e-300))
+        if tr._cost_cache is not None:
+            tr._cost_cache += ((cost_rec - float(tr.cost_recon_pos[-1]))
+                               + (new_link - float(tr.cost_link_pos[-1])))
         tr.cost_recon_pos[-1] = cost_rec
-        tr.cost_link_pos[-1] = -np.log(max(p_link, 1e-300))
-        tr.invalidate_cost()
+        tr.cost_link_pos[-1] = new_link
         tr.combination = tuple(combo)
         # tracklet history + connectivity + RGB applied by the caller's
         # batched _apply_history_batch pass
@@ -1718,6 +1910,12 @@ class Associator3D:
             last_t_loc=src.last_t_loc.copy(),
             last_sens=src.last_sens.copy(),
             last_rgb=src.last_rgb.copy())
+        if not share_arrays and ln == src.length:
+            # full-prefix clone: identical per-position costs, exit reset
+            # to 0 — the parent's warm memo transfers by delta
+            src_cost = src._cost_cache
+            if src_cost is not None:
+                tr._cost_cache = src_cost - src.cost_exit
         return tr
 
     def _apply_history_batch(self, cands: List[Track],
@@ -1769,11 +1967,12 @@ class Associator3D:
                 tr.tid_hist[c].append(int(t2s[k]))
                 if rgbc[k]:
                     tr.cost_rgb += float(rgbc[k])
+                    if tr._cost_cache is not None:
+                        tr._cost_cache += float(rgbc[k])
                 tr.last_rgb[c] = rt[pos[k]]
                 tr.last_t_loc[c] = loc[k]
                 tr.last_t_end[c] = frame_idx
                 tr.last_sens[c] = sens[k]
-                tr.invalidate_cost()
         return [tr for i, tr in enumerate(cands) if ok[i]]
 
     # ------------------------------------------------------------------

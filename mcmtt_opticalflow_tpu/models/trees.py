@@ -141,7 +141,14 @@ class Track:
             buf = self._bufs[name]
             buf[n] = val
             setattr(self, name, buf[:n + 1])
-        self._cost_cache = None
+        # incremental memo update: the appended row adds exactly its recon
+        # + link costs to the total, so a warm cache stays warm — every
+        # active/paused track appends once per frame, and re-summing the
+        # arrays for each of the ~2700 total_cost() calls per frame was a
+        # top-5 host cost at bench density (rows order = _POS_ARRAYS:
+        # cost_recon_pos is rows[7], cost_link_pos rows[8])
+        if self._cost_cache is not None:
+            self._cost_cache += float(rows[7]) + float(rows[8])
 
     # position rows trimmed off the front of the history (their recon +
     # link costs fold into this carried scalar; time_start advances by the
@@ -176,7 +183,8 @@ class Track:
         self.time_start += k
         self.n_measured = max(self.n_measured - k, 0)
         self.invalidate_buffers()
-        self._cost_cache = None
+        # total_cost is INVARIANT under trimming (the dropped rows' costs
+        # moved into cost_trimmed), so a warm memo stays valid
 
     def point_at(self, frame_idx: int, time_start: Optional[int] = None):
         """Smoothed position at an absolute frame, or None."""

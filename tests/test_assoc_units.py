@@ -442,6 +442,94 @@ class TestEmptyCamera:
         assert r is not None
 
 
+@pytest.mark.smoke
+class TestBatchedComboEnumeration:
+    def test_matches_recursive_enumerator(self):
+        """The vectorised level-BFS enumerator must reproduce the exact
+        recursive DFS output — same combinations, same emission order,
+        same cap-prefix — for seed roots and for every active track root
+        (ref GenerateTrackletCombinations, Associator3D.cpp:1283-1336)."""
+        sc = make_scenario(num_cameras=3, num_frames=5, num_people=4,
+                           image_size=(256, 192), arena=2500.0, seed=5)
+        assoc = Associator3D(small_cfg(num_cams=3), sc.cameras)
+        rng = np.random.RandomState(0)
+        for t in range(5):
+            c = 3
+            cap16 = 16
+            ids = np.zeros((c, cap16), np.int64)
+            boxes = np.zeros((c, cap16, 4), np.float32)
+            mask = np.zeros((c, cap16), bool)
+            for ci in range(c):
+                for j, b in enumerate(sc.detections[t][ci][:cap16]):
+                    # rotate ids some frames so assoc maps stay non-trivial
+                    ids[ci, j] = 100 * t + j if rng.rand() < 0.4 else j
+                    boxes[ci, j] = b
+                    mask[ci, j] = True
+            assoc.step(t, ids, boxes, mask,
+                       jnp.asarray(np.stack(sc.frames(t))))
+            nc = assoc.num_cams
+            full = [(1 << len(assoc.new_measurements[ci])) - 1
+                    for ci in range(nc)]
+            # roots: the seed root + every active track's (base, maps)
+            roots = [([-1] * nc, list(full))]
+            for tid in assoc.active_tracks:
+                tr = assoc.registry.tracks.get(tid)
+                if tr is None:
+                    continue
+                maps = list(full)
+                for ci in range(nc):
+                    if tr.combination[ci] < 0:
+                        continue
+                    a = assoc.tracklets[ci][tr.combination[ci]].assoc
+                    for c2 in range(nc):
+                        m = a.get(c2)
+                        if m is not None:
+                            maps[c2] &= m
+                roots.append((list(tr.combination), maps))
+            for cap in (3, 16, 8192):
+                expect = []
+                for base, maps in roots:
+                    out = []
+                    assoc._generate_combinations(list(maps), list(base), 0,
+                                                 out, cap=cap)
+                    expect.append(out)
+                batch = assoc._generate_combinations_batch(
+                    np.asarray([b for b, _ in roots], np.int64),
+                    np.asarray([m for _, m in roots], np.uint64), cap)
+                assert batch is not None
+                root_idx, combos = batch
+                got = [[] for _ in roots]
+                for r, row in zip(root_idx.tolist(), combos.tolist()):
+                    got[r].append(tuple(row))
+                assert got == expect, (t, cap)
+
+
+@pytest.mark.smoke
+class TestCostMemo:
+    def test_incremental_cost_matches_array_sums(self):
+        """total_cost() is maintained incrementally across appends,
+        window re-scores, branching, trimming and pause/exit updates;
+        after several frames every live track's memo must equal the
+        ground-truth re-sum of its cost arrays (ref GetCost,
+        Associator3D.cpp:2567-2578)."""
+        sc = make_scenario(num_cameras=2, num_frames=6, num_people=3,
+                           image_size=(256, 192), arena=2000.0, seed=7)
+        assoc = Associator3D(small_cfg(), sc.cameras)
+        for t in range(6):
+            feed_frame(assoc, sc, t)
+        checked = 0
+        for tr in assoc.registry.tracks.values():
+            if tr._cost_cache is None:
+                continue
+            truth = (tr.cost_enter + tr.cost_trimmed + tr.cost_rgb
+                     + tr.cost_exit + float(tr.cost_recon_pos.sum())
+                     + float(tr.cost_link_pos.sum()))
+            assert abs(tr.total_cost() - truth) < 1e-6 * max(
+                1.0, abs(truth)), (tr.id, tr.total_cost(), truth)
+            checked += 1
+        assert checked > 0
+
+
 class TestPoolOverflow:
     def test_pool_overflow_is_rank_pruned_and_counted(self):
         """With a solver graph smaller than the candidate pool the engine

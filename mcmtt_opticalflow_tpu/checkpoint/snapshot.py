@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 
-_SNAPSHOT_VERSION = 1
+_SNAPSHOT_VERSION = 2   # v2: Tracker2DState gained frames_lo pyramid rings
 
 
 def _to_numpy(tree):
@@ -88,8 +88,10 @@ def load_snapshot(engine, path: str) -> int:
     engine.results = payload.get("results", [])
     engine.timing = payload.get("timing", [])
     state_np = payload["state2d"]
-    engine.state2d = type(engine.state2d)(
-        *[jnp.asarray(leaf) for leaf in state_np])
+    # tree-map preserves the NamedTuple structure incl. nested tuples
+    # (frames_lo pyramid rings)
+    import jax
+    engine.state2d = jax.tree.map(jnp.asarray, state_np)
     a = engine.assoc
     s = payload["assoc"]
     a.registry.tracks = s["tracks"]

@@ -163,6 +163,9 @@ class Associator3D:
         self.frame_idx = -1
         self.num_frames_proc = 0
         self.deferred_solve = deferred_solve
+        # True when the engine owns the solve download (combined with the
+        # 2D result into one tunnel request; see pipeline.py)
+        self.external_fetch = False
         self._pending_solve: Optional[dict] = None
         # last frame whose hypothesis solve has been applied (== frame_idx
         # except between a deferred dispatch and its collect)
@@ -354,7 +357,27 @@ class Associator3D:
                 kb_masks.reshape(kb_masks.shape[0], -1, 8)
                 .astype(jnp.uint8) * shifts[None, None, :], axis=-1,
                 dtype=jnp.uint8)
-            return ws, kb_packed, kb_scores
+            # pack the whole downloaded payload into ONE leaf: the axon
+            # tunnel serves one request at a time at ~33 ms overhead per
+            # fetched array (scripts/tpu_solve_prof.py: the fused solve's
+            # wall is flat in iterations AND graph size — it is pure
+            # per-leaf RTT), so the original 8-leaf tree cost far more in
+            # round trips than in bytes.  Layout: [rescore rows as f16
+            # bytes: smoothed*3w | cost_recon*w | cost_link*w |
+            # window_cost | valid] ++ [K-best rows as u8: mask bits |
+            # score f32 bytes].
+            nr = ws.smoothed.shape[0]
+            pack_a = jnp.concatenate([
+                ws.smoothed.reshape(nr, -1),
+                ws.cost_recon, ws.cost_link,
+                ws.window_cost.astype(jnp.float16)[:, None],
+                ws.valid.astype(jnp.float16)[:, None]], axis=1)
+            pack_b = jnp.concatenate([
+                kb_packed,
+                jax.lax.bitcast_convert_type(kb_scores, jnp.uint8)], axis=1)
+            return jnp.concatenate([
+                jax.lax.bitcast_convert_type(pack_a, jnp.uint8).reshape(-1),
+                pack_b.reshape(-1)])
 
         self._rescore_and_solve = rescore_and_solve
 
@@ -929,16 +952,33 @@ class Associator3D:
         # an integer AND is ~100x cheaper than a small-ndarray AND (the
         # recursion was the top pure-host cost at density)
         for c1 in range(self.num_cams):
-            for i, t in enumerate(acts[c1]):
-                for c2 in range(self.num_cams):
-                    if c1 == c2:
+            n1 = len(acts[c1])
+            if n1 == 0:
+                continue
+            for c2 in range(self.num_cams):
+                n2 = len(news[c2])
+                if c1 == c2 or n2 == 0:
+                    for t in acts[c1]:
                         t.assoc[c2] = 0
-                    else:
-                        row = ok[c1, i, c2, :len(news[c2])]
+                    continue
+                if n2 <= 64:
+                    # whole-column bit pack: [n1, 64] bool -> little-endian
+                    # bytes -> one uint64 mask per active tracklet (the
+                    # per-row flatnonzero/shift loop cost ~4 ms/frame)
+                    rows = np.zeros((n1, 64), bool)
+                    rows[:, :n2] = ok[c1, :n1, c2, :n2]
+                    vs = np.packbits(rows, axis=1, bitorder="little") \
+                        .view(np.uint64).ravel().tolist()
+                else:
+                    vs = []
+                    for i in range(n1):
+                        row = ok[c1, i, c2, :n2]
                         v = 0
                         for j in np.flatnonzero(row):
                             v |= 1 << int(j)
-                        t.assoc[c2] = v
+                        vs.append(v)
+                for t, v in zip(acts[c1], vs):
+                    t.assoc[c2] = v
 
     # ------------------------------------------------------------------
     # 7c. track update (ref Track3D_UpdateTracks :1379-1715)
@@ -1499,28 +1539,35 @@ class Associator3D:
         # spatial-hash greedy admission: accepted points bucket into
         # prox-sized cells; each candidate checks only its 3x3 cell
         # neighbourhood (exact distances) — O(n) instead of O(n * accepted)
-        cellx = np.floor(pts[:, 0] / prox).astype(np.int64)
-        celly = np.floor(pts[:, 1] / prox).astype(np.int64)
-        grid: Dict[Tuple[int, int], List[np.ndarray]] = {}
+        cellx = np.floor(pts[:, 0] / prox).astype(np.int64).tolist()
+        celly = np.floor(pts[:, 1] / prox).astype(np.int64).tolist()
+        # pure-python floats in the sequential greedy loop: numpy scalar
+        # indexing/arithmetic cost ~5x more per op at this (tiny) size
+        px_l, py_l, pz_l = (pts[:, 0].tolist(), pts[:, 1].tolist(),
+                            pts[:, 2].tolist())
+        enter_l = enter.tolist()
+        grid: Dict[Tuple[int, int], List[Tuple[float, float, float]]] = {}
         na = 0
         out: List[Optional[float]] = [None] * n
-        for i in order:
+        for i in order.tolist():
             if na >= gcap:
                 break
-            p = pts[i]
-            cx, cy = int(cellx[i]), int(celly[i])
+            px, py, pz = px_l[i], py_l[i], pz_l[i]
+            cx, cy = cellx[i], celly[i]
             near = 0
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
-                    for q in grid.get((cx + dx, cy + dy), ()):
-                        d = p - q
-                        if d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < prox2:
+                    for qx, qy, qz in grid.get((cx + dx, cy + dy), ()):
+                        ddx = px - qx
+                        ddy = py - qy
+                        ddz = pz - qz
+                        if ddx * ddx + ddy * ddy + ddz * ddz < prox2:
                             near += 1
             if near >= per_cluster:
                 continue
-            grid.setdefault((cx, cy), []).append(p)
+            grid.setdefault((cx, cy), []).append((px, py, pz))
             na += 1
-            out[i] = float(enter[i])
+            out[i] = enter_l[i]
         self.seeds_suppressed_total += n - na
         return out
 
@@ -1606,64 +1653,71 @@ class Associator3D:
         nc = self.num_cams
         full = [(1 << len(self.new_measurements[c])) - 1
                 for c in range(nc)]
-        # per-root admissibility maps: the track's fixed tracklets AND
-        # their associability into every camera (python-int ANDs; ~4 dict
-        # gets per track — cheap next to the enumeration itself)
-        roots_maps: List[List[int]] = []
-        roots_tr: List[Track] = []
-        for tid in order:
-            tr = reg.tracks[tid]
-            combo = tr.combination
-            maps = list(full)
-            for c in range(nc):
-                if combo[c] < 0:
-                    continue
-                assoc = self.tracklets[c][combo[c]].assoc
-                for c2 in range(nc):
-                    m = assoc.get(c2)
-                    if m is not None:
-                        maps[c2] &= m
-            roots_maps.append(maps)
-            roots_tr.append(tr)
-        batch = None
-        if roots_tr:
-            batch = self._generate_combinations_batch(
-                np.asarray([tr.combination for tr in roots_tr], np.int64),
-                np.asarray(roots_maps, np.uint64), 2 * per_track)
-        if batch is not None:
-            root_idx, combos_arr = batch
-            combos_list = combos_arr.tolist()
-            # contiguous per-root segments, in `order` order
-            seg_bounds = np.flatnonzero(
-                np.diff(root_idx, prepend=-1)).tolist() + [len(root_idx)]
-            for k in range(len(seg_bounds) - 1):
-                if len(spatial_pairs) >= 8 * budget:
-                    break   # reconstruction-batch bound
-                tr = roots_tr[int(root_idx[seg_bounds[k]])]
+        # chunked batched enumeration: roots process in `order` in chunks,
+        # stopping at the 8*budget pair bound with whole-track granularity
+        # exactly like the per-track loop this replaces — without paying
+        # map-prep or enumeration for the (usually large) tail of roots
+        # the bound cuts off
+        use_batch = self._combo_tables() is not None
+        CHUNK = 128
+        pos = 0
+        while pos < len(order) and len(spatial_pairs) < 8 * budget:
+            chunk = order[pos:pos + CHUNK]
+            pos += CHUNK
+            roots_maps: List[List[int]] = []
+            roots_tr: List[Track] = []
+            for tid in chunk:
+                tr = reg.tracks[tid]
                 combo = tr.combination
-                had = False
-                for ri in range(seg_bounds[k], seg_bounds[k + 1]):
-                    br = tuple(combos_list[ri])
-                    if br != combo:
-                        spatial_pairs.append((tr, br))
-                        had = True
-                if had:
-                    parent_seq.append(tr.id)
-        else:
-            for i, tr in enumerate(roots_tr):
-                if len(spatial_pairs) >= 8 * budget:
-                    break   # reconstruction-batch bound
-                combo = tr.combination
-                branches: List[Tuple[int, ...]] = []
-                self._generate_combinations(roots_maps[i], list(combo), 0,
-                                            branches, cap=2 * per_track)
-                had = False
-                for br in branches:
-                    if br != combo:
-                        spatial_pairs.append((tr, br))
-                        had = True
-                if had:
-                    parent_seq.append(tr.id)
+                maps = list(full)
+                for c in range(nc):
+                    if combo[c] < 0:
+                        continue
+                    assoc = self.tracklets[c][combo[c]].assoc
+                    for c2 in range(nc):
+                        m = assoc.get(c2)
+                        if m is not None:
+                            maps[c2] &= m
+                roots_maps.append(maps)
+                roots_tr.append(tr)
+            if use_batch:
+                root_idx, combos_arr = self._generate_combinations_batch(
+                    np.asarray([tr.combination for tr in roots_tr],
+                               np.int64),
+                    np.asarray(roots_maps, np.uint64), 2 * per_track)
+                combos_list = combos_arr.tolist()
+                # contiguous per-root segments, in `order` order
+                seg_bounds = np.flatnonzero(
+                    np.diff(root_idx, prepend=-1)).tolist() + [len(root_idx)]
+                for k in range(len(seg_bounds) - 1):
+                    if len(spatial_pairs) >= 8 * budget:
+                        break   # reconstruction-batch bound
+                    tr = roots_tr[int(root_idx[seg_bounds[k]])]
+                    combo = tr.combination
+                    had = False
+                    for ri in range(seg_bounds[k], seg_bounds[k + 1]):
+                        br = tuple(combos_list[ri])
+                        if br != combo:
+                            spatial_pairs.append((tr, br))
+                            had = True
+                    if had:
+                        parent_seq.append(tr.id)
+            else:
+                for i, tr in enumerate(roots_tr):
+                    if len(spatial_pairs) >= 8 * budget:
+                        break   # reconstruction-batch bound
+                    combo = tr.combination
+                    branches: List[Tuple[int, ...]] = []
+                    self._generate_combinations(roots_maps[i], list(combo),
+                                                0, branches,
+                                                cap=2 * per_track)
+                    had = False
+                    for br in branches:
+                        if br != combo:
+                            spatial_pairs.append((tr, br))
+                            had = True
+                    if had:
+                        parent_seq.append(tr.id)
 
         self.timer.pop()
         # batch-reconstruct all spatial branch combinations (geometry
@@ -2255,6 +2309,14 @@ class Associator3D:
                     shared=shared, pos_grid=pos_grid, have=have,
                     pvalid=pvalid)
         if self.deferred_solve:
+            if self.external_fetch:
+                # the engine combines this solve's download with the 2D
+                # step's into ONE tunnel round trip (pipeline.py attaches
+                # pend["fetch"] right after the 2D dispatch) — each fetch
+                # request costs ~33 ms of serial tunnel occupancy
+                # regardless of payload
+                self._pending_solve = pend
+                return
             # background-thread fetch: the axon runtime executes + streams
             # results only when a fetch arrives (copy_to_host_async is a
             # no-op there), so the fetch must START now to overlap the
@@ -2264,6 +2326,27 @@ class Associator3D:
             self._pending_solve = pend
             return
         self._collect_solve(pend)
+
+    def _unpack_solve(self, flat, nr):
+        """Host inverse of rescore_and_solve's single-leaf packing.
+        nr: the rescore bucket size (rows of the f16 block)."""
+        from mcmtt_opticalflow_tpu.models.costs import WindowScore
+
+        flat = np.asarray(flat)
+        w = self.win_rescore
+        cols = 5 * w + 2
+        a = flat[:nr * cols * 2].view(np.float16).reshape(nr, cols)
+        ws = WindowScore(
+            smoothed=a[:, :3 * w].reshape(nr, w, 3),
+            velocity=np.zeros((0,), np.float32),
+            cost_recon=a[:, 3 * w:4 * w],
+            cost_link=a[:, 4 * w:5 * w],
+            window_cost=a[:, 5 * w].astype(np.float32),
+            valid=a[:, 5 * w + 1] > 0.5)
+        b = flat[nr * cols * 2:].reshape(self.acfg.k_best_size, -1)
+        kb_masks = b[:, :-4]
+        kb_scores = b[:, -4:].copy().view(np.float32).ravel()
+        return ws, kb_masks, kb_scores
 
     def _collect_solve(self, p: dict):
         """Post-fetch half of the hypothesis step: apply window scores,
@@ -2280,10 +2363,12 @@ class Associator3D:
         all_solutions: List[Tuple[frozenset, float]] = []
         with self.timer.stage("hyp.solve"):
             if "fetch" in p:
-                ws, kb_masks, kb_scores = p["fetch"].get()
+                fetched = p["fetch"].get()
             else:
                 from mcmtt_opticalflow_tpu.parallel.mesh import fetch
-                ws, kb_masks, kb_scores = fetch(p["out"])
+                fetched = fetch(p["out"])
+            ws, kb_masks, kb_scores = self._unpack_solve(
+                fetched, len(p["lens"]))
         with self.timer.stage("hyp.apply"):
             self._apply_window_scores(rescore, ws, lens, starts)
             self._finish_rescore(updated, candidates, seeds)

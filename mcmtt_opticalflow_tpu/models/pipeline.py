@@ -26,6 +26,33 @@ from mcmtt_opticalflow_tpu.models.tracker2d import (init_tracker2d_state,
                                                     make_tracker2d_step)
 
 
+def _unpack2d(arr):
+    """Host inverse of TrackingEngine._pack2d."""
+    a = np.asarray(arr)
+    return (a[..., 0].astype(np.int64), a[..., 2:6], a[..., 1] > 0.5)
+
+
+class _CombinedPart:
+    """One half of a combined [solve bytes | 2D f32 bytes] fetch: the
+    underlying AsyncFetch joins once; each part slices its bytes out.
+    Each fetch request costs ~33 ms of serial tunnel occupancy on the
+    axon runtime regardless of payload (scripts/tpu_solve_prof.py), so
+    the per-frame solve + 2D downloads share ONE request."""
+
+    def __init__(self, fetcher, n_tail_bytes, part, shape=None):
+        self._fetcher = fetcher
+        self._n = n_tail_bytes
+        self._part = part
+        self._shape = shape
+
+    def get(self):
+        flat = np.asarray(self._fetcher.get())
+        if self._part == "solve":
+            return flat[:len(flat) - self._n]
+        return (flat[len(flat) - self._n:].view(np.float32)
+                .reshape(self._shape))
+
+
 class TrackingEngine:
     def __init__(self, cfg: EngineConfig, cameras: Sequence[TsaiCamera],
                  pipelined: bool = False, sidemaps=None, mesh=None):
@@ -88,6 +115,30 @@ class TrackingEngine:
         # upload.  Static-background surveillance footage (PETS!) changes
         # ~20% of tiles per frame.  Disabled under a mesh (sharded gray)
         # or for odd image sizes.
+        # single-leaf 2D result download: the axon tunnel serves one
+        # request at a time with ~30 ms overhead per fetched array, so the
+        # (ids, boxes, mask) tuple packs into ONE f32 array on device
+        # (ids are exact in f32 below 2^24; a PETS-scale run allocates
+        # ~50 ids/frame, orders of magnitude below that)
+        self._pack2d = jax.jit(lambda ids, boxes, mask: jnp.concatenate(
+            [ids.astype(jnp.float32)[..., None],
+             mask.astype(jnp.float32)[..., None], boxes], -1))
+        # combined per-frame download: solve bytes ++ 2D f32 bytes in one
+        # buffer -> ONE fetch request per frame (see _CombinedPart).
+        # MEASURED SLOWER on the dev tunnel while the engine is HOST-bound
+        # (bench 5.0 -> 2.2 f/s): the solve join couples to the 2D exec,
+        # which the separate-fetch pipeline hides entirely behind its
+        # 2-frame lead.  Kept behind MCMTT_COMBINED_FETCH=1 for a future
+        # tunnel-bound regime (it does cut one ~33 ms request/frame of
+        # serial tunnel occupancy).
+        import os
+        self._combine = jax.jit(lambda s, t2d: jnp.concatenate(
+            [s, jax.lax.bitcast_convert_type(t2d, jnp.uint8).reshape(-1)]))
+        self._shape2d = (cfg.num_cameras, cfg.tracker2d.max_trackers, 6)
+        self._n2d_bytes = int(np.prod(self._shape2d)) * 4
+        self._combine_ok = (pipelined and mesh is None
+                            and os.environ.get("MCMTT_COMBINED_FETCH") == "1")
+        self.assoc.external_fetch = self._combine_ok
         self._TILE_H, self._TILE_W = 16, 32
         h, w = cfg.image_height, cfg.image_width
         self._tiles_ok = (mesh is None and h % self._TILE_H == 0
@@ -235,7 +286,7 @@ class TrackingEngine:
             if len(self._pending) == 2:
                 prev_idx, prev_fetch, prev_rgb = self._pending.pop(0)
                 with self.assoc.timer.stage("get2d"):
-                    ids_np, boxes_np, mask_np = prev_fetch.get()
+                    ids_np, boxes_np, mask_np = _unpack2d(prev_fetch.get())
                 result = self.assoc.step_begin(prev_idx, ids_np, boxes_np,
                                                mask_np, prev_rgb)
                 self.assoc.step_finish(prev_idx)
@@ -245,7 +296,17 @@ class TrackingEngine:
                     self._put_cam(mask), self.cams,
                     jnp.int32(self.frame_idx))
             from mcmtt_opticalflow_tpu.parallel.mesh import AsyncFetch
-            out_fetch = AsyncFetch((out2d.ids, out2d.boxes, out2d.mask))
+            packed2d = self._pack2d(out2d.ids, out2d.boxes, out2d.mask)
+            pend = self.assoc._pending_solve
+            if (self._combine_ok and pend is not None
+                    and "out" in pend and "fetch" not in pend):
+                combined = AsyncFetch(self._combine(pend["out"], packed2d))
+                pend["fetch"] = _CombinedPart(combined, self._n2d_bytes,
+                                              "solve")
+                out_fetch = _CombinedPart(combined, self._n2d_bytes, "2d",
+                                          self._shape2d)
+            else:
+                out_fetch = AsyncFetch(packed2d)
             self._pending.append((self.frame_idx, out_fetch, f))
             if result is None:       # pipeline still filling
                 return None
@@ -264,8 +325,8 @@ class TrackingEngine:
     def _associate(self, frame_idx, out2d, rgb_dev) -> Track3DResult:
         with self.assoc.timer.stage("get2d"):
             from mcmtt_opticalflow_tpu.parallel.mesh import fetch
-            ids_np, boxes_np, mask_np = fetch(
-                (out2d.ids, out2d.boxes, out2d.mask))
+            ids_np, boxes_np, mask_np = _unpack2d(fetch(
+                self._pack2d(out2d.ids, out2d.boxes, out2d.mask)))
         return self.assoc.step(frame_idx, ids_np, boxes_np, mask_np, rgb_dev)
 
     def flush(self) -> Optional[Track3DResult]:
@@ -276,7 +337,7 @@ class TrackingEngine:
         if self._pending:
             prev_idx, prev_fetch, prev_rgb = self._pending.pop(0)
             with self.assoc.timer.stage("get2d"):
-                ids_np, boxes_np, mask_np = prev_fetch.get()
+                ids_np, boxes_np, mask_np = _unpack2d(prev_fetch.get())
             result = self.assoc.step(prev_idx, ids_np, boxes_np, mask_np,
                                      prev_rgb)
         if result is None:

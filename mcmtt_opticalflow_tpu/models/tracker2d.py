@@ -38,7 +38,8 @@ from mcmtt_opticalflow_tpu.geometry.tsai import TsaiCamera, image_to_world
 from mcmtt_opticalflow_tpu.geometry.triangulation import triangulate_two_lines
 from mcmtt_opticalflow_tpu.ops.features import detect_grid_features
 from mcmtt_opticalflow_tpu.ops.hungarian import solve_assignment
-from mcmtt_opticalflow_tpu.ops.lk import lk_track_pyramid
+from mcmtt_opticalflow_tpu.ops.lk import lk_track_prebuilt
+from mcmtt_opticalflow_tpu.ops.pyramid import build_pyramid
 
 _INF = jnp.inf
 
@@ -48,6 +49,10 @@ class Tracker2DState(NamedTuple):
     leading camera axis for vmapped multi-camera stepping."""
 
     frames: jnp.ndarray        # [B, H, W] gray ring buffer, index -1 = newest
+    # cached coarse pyramid levels of the ring frames, one ring per level
+    # >= 1 ([B, H/2^l, W/2^l] each): each frame's pyramid builds ONCE at
+    # ingest instead of twice per LK call (4 calls/frame)
+    frames_lo: tuple           # tuple of [B, H/2^l, W/2^l] arrays
     frame_count: jnp.ndarray   # scalar int32
     trk_active: jnp.ndarray    # [T] bool
     trk_id: jnp.ndarray        # [T] int32
@@ -85,6 +90,9 @@ def init_tracker2d_state(cfg: Tracker2DConfig, height: int, width: int,
     t, f, b = cfg.max_trackers, cfg.max_features, cfg.backtrack_interval
     return Tracker2DState(
         frames=z((b, height, width)),
+        frames_lo=tuple(
+            z((b, height // 2 ** l, width // 2 ** l))
+            for l in range(1, cfg.lk_pyramid_levels)),
         frame_count=z((), jnp.int32),
         trk_active=z((t,), bool),
         trk_id=z((t,), jnp.int32),
@@ -232,7 +240,16 @@ def tracker2d_step(state: Tracker2DState,
 
     # ---- frame buffer push ------------------------------------------------
     frames = jnp.concatenate([state.frames[1:], gray[None]], axis=0)
+    # the new frame's pyramid builds ONCE here; coarse levels ride their
+    # own ring buffers so every LK call below reads cached levels
+    g_pyr = build_pyramid(gray, cfg.lk_pyramid_levels)
+    frames_lo = tuple(
+        jnp.concatenate([old[1:], g_pyr[l + 1][None]], axis=0)
+        for l, old in enumerate(state.frames_lo))
     frame_count = jnp.minimum(state.frame_count + 1, bql)
+
+    def pyr_at(i):
+        return [frames[i]] + [lo[i] for lo in frames_lo]
 
     # ---- 1. detection validation by height (ref :705-715) ------------------
     heights, locations = estimate_detection_height(cam, det_boxes)
@@ -260,13 +277,11 @@ def tracker2d_step(state: Tracker2DState,
     first_valid = det_feat_valid
     for j in range(1, bql):
         have_frame = frame_count > j
-        prev_frame = frames[bql - 1 - j]
-        this_frame = frames[bql - j]
         pts = cur_feats.reshape(-1, 2)
         act = (cur_valid & alive[:, None]).reshape(-1)
-        tracked, status, _ = lk_track_pyramid(
-            this_frame, prev_frame, pts,
-            levels=cfg.lk_pyramid_levels, window=cfg.lk_window,
+        tracked, status, _ = lk_track_prebuilt(
+            pyr_at(bql - j), pyr_at(bql - 1 - j), pts,
+            window=cfg.lk_window,
             iterations=cfg.lk_iterations, active=act)
         back_feats = tracked.reshape(n_det, n_feat, 2)
         back_ok = status.reshape(n_det, n_feat) & cur_valid
@@ -288,13 +303,11 @@ def tracker2d_step(state: Tracker2DState,
         alive = step_ok  # chain breaks stay broken (ref `break`, :788)
 
     # ---- 4. forward LK of live trackers (ref :851-1025) --------------------
-    prev_frame = frames[bql - 2]
-    cur_frame = frames[bql - 1]
     t_pts = state.trk_feats.reshape(-1, 2)
     t_act = (state.trk_feat_valid & state.trk_active[:, None]).reshape(-1)
-    t_tracked, t_status, _ = lk_track_pyramid(
-        prev_frame, cur_frame, t_pts,
-        levels=cfg.lk_pyramid_levels, window=cfg.lk_window,
+    t_tracked, t_status, _ = lk_track_prebuilt(
+        pyr_at(bql - 2), pyr_at(bql - 1), t_pts,
+        window=cfg.lk_window,
         iterations=cfg.lk_iterations, active=t_act)
     trk_curr_feats = t_tracked.reshape(n_trk, n_feat, 2)
     trk_track_ok = t_status.reshape(n_trk, n_feat) & state.trk_feat_valid
@@ -429,7 +442,7 @@ def tracker2d_step(state: Tracker2DState,
     trk_active = trk_active | is_new
 
     new_state = Tracker2DState(
-        frames=frames, frame_count=frame_count,
+        frames=frames, frames_lo=frames_lo, frame_count=frame_count,
         trk_active=trk_active, trk_id=trk_id, trk_boxes=trk_boxes,
         trk_time_start=trk_time_start, trk_time_end=trk_time_end,
         trk_feats=trk_feats_new, trk_feat_valid=trk_feat_valid_new,

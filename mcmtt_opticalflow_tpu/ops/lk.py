@@ -192,6 +192,40 @@ def _lk_level_cached(window: int, iterations: int):
     return _make_lk_level(window, iterations)
 
 
+def lk_track_prebuilt(prev_pyr: Sequence[jnp.ndarray],
+                      next_pyr: Sequence[jnp.ndarray],
+                      points: jnp.ndarray,
+                      window: int = 16,
+                      iterations: int = 10,
+                      max_residual: float = 0.08,
+                      active: jnp.ndarray | None = None):
+    """Pyramidal LK over PREBUILT pyramids (finest first).
+
+    The 2D tracker calls LK 4x per frame over a sliding frame window;
+    caching each frame's pyramid in the tracker state and tracking over
+    the cached levels skips 6 of the 8 per-frame pyramid builds the
+    build-per-call API pays (ref cv::calcOpticalFlowPyrLK's internal
+    pyramids, Tracker2D.cpp:776, 871)."""
+    levels = len(prev_pyr)
+    scale = 2.0 ** (levels - 1)
+    cur = points / scale
+    n = points.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    valid = active
+    resid = jnp.zeros((n,), points.dtype)
+    lk_level = _lk_level_cached(window, iterations)
+    for lvl in range(levels - 1, -1, -1):
+        src = points / (2.0 ** lvl)
+        cur, v, resid = lk_level(prev_pyr[lvl], next_pyr[lvl], src, cur,
+                                 active)
+        valid = valid & v
+        if lvl > 0:
+            cur = cur * 2.0
+    status = valid & (resid < max_residual)
+    return cur, status, resid
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "window", "iterations"))
 def lk_track_pyramid(prev_img: jnp.ndarray,
                      next_img: jnp.ndarray,
@@ -210,20 +244,6 @@ def lk_track_pyramid(prev_img: jnp.ndarray,
     """
     prev_pyr = build_pyramid(prev_img, levels)
     next_pyr = build_pyramid(next_img, levels)
-    scale = 2.0 ** (levels - 1)
-    cur = points / scale
-    n = points.shape[0]
-    if active is None:
-        active = jnp.ones((n,), bool)
-    valid = active
-    resid = jnp.zeros((n,), points.dtype)
-    lk_level = _lk_level_cached(window, iterations)
-    for lvl in range(levels - 1, -1, -1):
-        src = points / (2.0 ** lvl)
-        cur, v, resid = lk_level(prev_pyr[lvl], next_pyr[lvl], src, cur,
-                                 active)
-        valid = valid & v
-        if lvl > 0:
-            cur = cur * 2.0
-    status = valid & (resid < max_residual)
-    return cur, status, resid
+    return lk_track_prebuilt(prev_pyr, next_pyr, points, window=window,
+                             iterations=iterations,
+                             max_residual=max_residual, active=active)

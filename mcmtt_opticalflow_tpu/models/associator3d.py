@@ -1580,24 +1580,33 @@ class Associator3D:
         alias); they double as the track's append buffers."""
         reg = self.registry
         tree = reg.new_tree(frame_idx)
-        tr = Track(
+        # C-level dict assembly instead of the 30-kwarg dataclass
+        # constructor (same motivation as _clone_track: ~140 seeds/frame
+        # at bench density, ~40 us per Python-level __init__)
+        tr = object.__new__(Track)
+        tr.__dict__.update(dict(
             id=reg.alloc_track_id(), tree_id=tree.id, parent=None,
             num_cams=self.num_cams, combination=tuple(combo),
-            time_start=frame_idx,
-            time_end=frame_idx, time_generation=frame_idx,
+            time_start=frame_idx, time_end=frame_idx,
+            time_generation=frame_idx,
+            children=[],
             tid_hist=[[t] if t >= 0 else [] for t in combo],
+            active=True, valid=True, new_track=True, current_best=False,
             n_measured=1,
             points=points[:1], smoothed=smoothed[:1],
             velocity=velocity[:1],
             raw_points=raws[:1], raw_mask=rmask[:1],
             max_error=max_err[:1], is_meas=is_meas[:1],
             cost_recon_pos=cost_rec[:1], cost_link_pos=cost_link[:1],
+            cost_enter=0.0, cost_exit=0.0, cost_rgb=0.0,
+            cost_trimmed=0.0, gt_prob=0.0, num_outpoint=0,
             last_t_end=last_t_end, last_t_loc=last_t_loc,
-            last_sens=last_sens, last_rgb=last_rgb)
-        tr._cap = cap
-        tr._bufs = dict(zip(Track._POS_ARRAYS,
-                            (points, smoothed, velocity, raws, rmask,
-                             max_err, is_meas, cost_rec, cost_link)))
+            last_sens=last_sens, last_rgb=last_rgb,
+            _cost_cache=None, _share_cache=None,
+            _cap=cap,
+            _bufs=dict(zip(Track._POS_ARRAYS,
+                           (points, smoothed, velocity, raws, rmask,
+                            max_err, is_meas, cost_rec, cost_link)))))
         for ci, t2 in enumerate(combo):
             if t2 < 0:
                 continue
@@ -1935,41 +1944,48 @@ class Associator3D:
         """share_arrays=True skips the per-position array copies — the
         caller promises to REPLACE every per-position array before the
         track is used (the temporal-branch constructor builds them in one
-        pass)."""
+        pass).
+
+        Built via a C-level __dict__ copy instead of the 30-kwarg
+        dataclass constructor: ~420 branch candidates clone per frame at
+        bench density and the Python-level __init__ alone was the single
+        largest host cost (~40 us/clone)."""
         ln = src.length if length is None else length
-
-        def cp(a):
-            return a if share_arrays else a[:ln].copy()
-
-        tr = Track(
-            id=new_id, tree_id=src.tree_id, parent=src.id,
-            num_cams=src.num_cams, combination=src.combination,
-            time_start=src.time_start,
-            time_end=src.time_end, time_generation=frame_idx,
-            tid_hist=[list(h) for h in src.tid_hist],
-            n_measured=min(src.n_measured, ln),
-            points=cp(src.points),
-            smoothed=cp(src.smoothed),
-            velocity=cp(src.velocity),
-            raw_points=cp(src.raw_points),
-            raw_mask=cp(src.raw_mask),
-            max_error=cp(src.max_error),
-            is_meas=cp(src.is_meas),
-            cost_recon_pos=cp(src.cost_recon_pos),
-            cost_link_pos=cp(src.cost_link_pos),
-            cost_enter=src.cost_enter, cost_exit=0.0,
-            cost_rgb=src.cost_rgb, cost_trimmed=src.cost_trimmed,
-            gt_prob=src.gt_prob,
-            last_t_end=src.last_t_end.copy(),
-            last_t_loc=src.last_t_loc.copy(),
-            last_sens=src.last_sens.copy(),
-            last_rgb=src.last_rgb.copy())
-        if not share_arrays and ln == src.length:
-            # full-prefix clone: identical per-position costs, exit reset
-            # to 0 — the parent's warm memo transfers by delta
-            src_cost = src._cost_cache
-            if src_cost is not None:
-                tr._cost_cache = src_cost - src.cost_exit
+        tr = object.__new__(Track)
+        d = tr.__dict__
+        d.update(src.__dict__)
+        d["id"] = new_id
+        d["parent"] = src.id
+        d["children"] = []
+        d["tid_hist"] = [list(h) for h in src.tid_hist]
+        d["time_generation"] = frame_idx
+        d["n_measured"] = min(src.n_measured, ln)
+        d["active"] = True
+        d["valid"] = True
+        d["new_track"] = True
+        d["current_best"] = False
+        d["num_outpoint"] = 0
+        d["cost_exit"] = 0.0
+        d["_cap"] = None
+        d["_bufs"] = {}
+        # _share_cache rides along: the copied tid_hist has the same
+        # content, and the cache key (total hist length) invalidates it
+        # naturally on the clone's own appends
+        d["last_t_end"] = src.last_t_end.copy()
+        d["last_t_loc"] = src.last_t_loc.copy()
+        d["last_sens"] = src.last_sens.copy()
+        d["last_rgb"] = src.last_rgb.copy()
+        if share_arrays:
+            d["_cost_cache"] = None
+        else:
+            for name in Track._POS_ARRAYS:
+                d[name] = getattr(src, name)[:ln].copy()
+            if ln == src.length and src._cost_cache is not None:
+                # full-prefix clone: identical per-position costs, exit
+                # reset to 0 — the parent's warm memo transfers by delta
+                d["_cost_cache"] = src._cost_cache - src.cost_exit
+            else:
+                d["_cost_cache"] = None
         return tr
 
     def _apply_history_batch(self, cands: List[Track],

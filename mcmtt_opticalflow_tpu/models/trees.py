@@ -127,7 +127,9 @@ class Track:
 
     def append_position_row(self, *rows) -> None:
         """Append one row to every per-position array (order of
-        _POS_ARRAYS), growing the backing buffers geometrically."""
+        _POS_ARRAYS), growing the backing buffers geometrically.
+        Unrolled: every active/paused track appends once per frame, and
+        the generic zip/getattr/setattr loop measured ~40% slower."""
         n = self.length
         if self._cap is None or self._cap < n + 1:
             newcap = max(8, 2 * (n + 1))
@@ -137,10 +139,19 @@ class Track:
                 buf[:n] = cur
                 self._bufs[name] = buf
             self._cap = newcap
-        for name, val in zip(self._POS_ARRAYS, rows):
-            buf = self._bufs[name]
-            buf[n] = val
-            setattr(self, name, buf[:n + 1])
+        bufs = self._bufs
+        n1 = n + 1
+        b = bufs["points"]; b[n] = rows[0]; self.points = b[:n1]
+        b = bufs["smoothed"]; b[n] = rows[1]; self.smoothed = b[:n1]
+        b = bufs["velocity"]; b[n] = rows[2]; self.velocity = b[:n1]
+        b = bufs["raw_points"]; b[n] = rows[3]; self.raw_points = b[:n1]
+        b = bufs["raw_mask"]; b[n] = rows[4]; self.raw_mask = b[:n1]
+        b = bufs["max_error"]; b[n] = rows[5]; self.max_error = b[:n1]
+        b = bufs["is_meas"]; b[n] = rows[6]; self.is_meas = b[:n1]
+        b = bufs["cost_recon_pos"]; b[n] = rows[7]
+        self.cost_recon_pos = b[:n1]
+        b = bufs["cost_link_pos"]; b[n] = rows[8]
+        self.cost_link_pos = b[:n1]
         # incremental memo update: the appended row adds exactly its recon
         # + link costs to the total, so a warm cache stays warm — every
         # active/paused track appends once per frame, and re-summing the

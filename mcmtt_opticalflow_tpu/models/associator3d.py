@@ -663,8 +663,9 @@ class Associator3D:
         p = np.clip(prob, 1e-12, 1 - 1e-12)
         return np.log(1 - p) - np.log(p) - np.log(ratio)
 
-    def _reconstruct_batch(self, combos: List[Tuple[int, ...]],
-                           skip_cost: bool = False):
+    def _reconstruct_batch(self, combos,
+                           skip_cost: bool = False,
+                           as_arrays: bool = False):
         """Vectorised `_reconstruct` over a list of combinations, both
         detection modes.  One numpy pass replaces N Python-loop
         reconstructions — the host-side cost of the reference's per-branch
@@ -675,10 +676,17 @@ class Associator3D:
         (point, raw_points, raw_mask, max_error, cost) or None.  With
         skip_cost=True the cost slot holds the geometry PROBABILITY
         instead (feed it to _recon_cost_batch for the rows that
-        survive)."""
+        survive).  With as_arrays=True, returns the column arrays
+        (point [n,3], locs [n,C,3], mask [n,C], max_err [n], cost [n],
+        ok [n]) instead of the per-row tuple list (the tuple+view
+        construction costs ~2 us/row — material at branch batch sizes).
+        `combos` may be a list of tuples or an [n, C] int array."""
         n = len(combos)
         if n == 0:
-            return []
+            return ((np.zeros((0, 3)), np.zeros((0, self.num_cams, 3)),
+                     np.zeros((0, self.num_cams), bool), np.zeros(0),
+                     np.zeros(0), np.zeros(0, bool))
+                    if as_arrays else [])
         nc = self.num_cams
         head = self.acfg.detection_mode == "head"
         # per-camera sorted-id lookup tables (built lazily per frame by
@@ -752,6 +760,8 @@ class Associator3D:
             cost = prob
         else:
             cost = self._recon_cost_batch(point, mask, prob)
+        if as_arrays:
+            return point, locs, mask, max_err, cost, ok
         return [
             (point[i], locs[i], mask[i], float(max_err[i]), float(cost[i]))
             if ok[i] else None
@@ -1161,12 +1171,24 @@ class Associator3D:
                     + self.acfg.num_frames_for_confirmation <= frame_idx):
                 tree.confirmed = True
 
-        # hypothesis validity (ref :1664-1688)
+        # hypothesis validity (ref :1664-1688).  The K hypotheses' related
+        # lists heavily overlap (shared unconfirmed tail from _prune), so
+        # validity memoizes per track id — the naive sweep did ~21k
+        # dict+attr lookups per frame at K=30 x ~700-track pools
+        tracks = reg.tracks
+        vmemo: Dict[int, bool] = {}
+
+        def _vok(t):
+            v = vmemo.get(t)
+            if v is None:
+                tr2 = tracks.get(t)
+                v = tr2 is not None and tr2.valid
+                vmemo[t] = v
+            return v
+
         for h in self.prev_hypotheses:
-            h.valid = all(t in reg.tracks and reg.tracks[t].valid
-                          for t in h.selected)
-            h.related = [t for t in h.related
-                         if t in reg.tracks and reg.tracks[t].valid]
+            h.valid = all(_vok(t) for t in h.selected)
+            h.related = [t for t in h.related if _vok(t)]
         self.prev_hypotheses = [h for h in self.prev_hypotheses if h.valid]
 
     def _append_position(self, tr: Track, point, raws, rmask, max_err,
@@ -1627,7 +1649,9 @@ class Associator3D:
     def _branch_tracks(self, frame_idx, seeds: List[int]):
         reg = self.registry
         candidates: List[Track] = []
-        spatial_pairs: List[Tuple[Track, Tuple[int, ...]]] = []
+        # spatial (parent, combination) pairs accumulate as array chunks:
+        # each entry is ([m, C] int64 combination rows, aligned parents)
+        pair_chunks: List[Tuple[np.ndarray, List[Track]]] = []
 
         # ---- spatial branching -------------------------------------------
         # Branch ALLOCATION must be fair across parents: with the real 2D
@@ -1670,7 +1694,8 @@ class Associator3D:
         use_batch = self._combo_tables() is not None
         CHUNK = 128
         pos = 0
-        while pos < len(order) and len(spatial_pairs) < 8 * budget:
+        while (pos < len(order)
+               and sum(len(c) for c, _ in pair_chunks) < 8 * budget):
             chunk = order[pos:pos + CHUNK]
             pos += CHUNK
             roots_maps: List[List[int]] = []
@@ -1690,30 +1715,44 @@ class Associator3D:
                 roots_maps.append(maps)
                 roots_tr.append(tr)
             if use_batch:
+                bases_arr = np.asarray(
+                    [tr.combination for tr in roots_tr], np.int64)
                 root_idx, combos_arr = self._generate_combinations_batch(
-                    np.asarray([tr.combination for tr in roots_tr],
-                               np.int64),
-                    np.asarray(roots_maps, np.uint64), 2 * per_track)
-                combos_list = combos_arr.tolist()
-                # contiguous per-root segments, in `order` order
-                seg_bounds = np.flatnonzero(
-                    np.diff(root_idx, prepend=-1)).tolist() + [len(root_idx)]
-                for k in range(len(seg_bounds) - 1):
-                    if len(spatial_pairs) >= 8 * budget:
-                        break   # reconstruction-batch bound
-                    tr = roots_tr[int(root_idx[seg_bounds[k]])]
-                    combo = tr.combination
-                    had = False
-                    for ri in range(seg_bounds[k], seg_bounds[k + 1]):
-                        br = tuple(combos_list[ri])
-                        if br != combo:
-                            spatial_pairs.append((tr, br))
-                            had = True
-                    if had:
-                        parent_seq.append(tr.id)
+                    bases_arr, np.asarray(roots_maps, np.uint64),
+                    2 * per_track)
+                # array-native selection: drop rows equal to the root's
+                # own combination and apply the pair bound with
+                # whole-root granularity — all without tolist/tuple
+                # conversions (those cost ~2 us/row at ~2k rows/frame)
+                nonbase = (combos_arr != bases_arr[root_idx]).any(1)
+                seg_new = np.empty(len(root_idx), bool)
+                if len(root_idx):
+                    seg_new[0] = True
+                    np.not_equal(root_idx[1:], root_idx[:-1],
+                                 out=seg_new[1:])
+                seg_starts = np.flatnonzero(seg_new)
+                seg_counts = np.add.reduceat(nonbase, seg_starts) \
+                    if len(seg_starts) else np.zeros(0, np.int64)
+                before = np.cumsum(seg_counts) - seg_counts
+                rem = 8 * budget - sum(len(c) for c, _ in pair_chunks)
+                allowed_seg = before < rem
+                row_allowed = np.repeat(
+                    allowed_seg,
+                    np.diff(np.append(seg_starts, len(root_idx))))
+                keep_rows = np.flatnonzero(nonbase & row_allowed)
+                if len(keep_rows):
+                    pair_chunks.append((combos_arr[keep_rows],
+                                        [roots_tr[int(r)]
+                                         for r in root_idx[keep_rows]]))
+                for k in np.flatnonzero(allowed_seg & (seg_counts > 0)):
+                    parent_seq.append(
+                        roots_tr[int(root_idx[seg_starts[k]])].id)
             else:
+                rows: List[Tuple[int, ...]] = []
+                row_parents: List[Track] = []
+                total = sum(len(c) for c, _ in pair_chunks)
                 for i, tr in enumerate(roots_tr):
-                    if len(spatial_pairs) >= 8 * budget:
+                    if total + len(rows) >= 8 * budget:
                         break   # reconstruction-batch bound
                     combo = tr.combination
                     branches: List[Tuple[int, ...]] = []
@@ -1723,33 +1762,56 @@ class Associator3D:
                     had = False
                     for br in branches:
                         if br != combo:
-                            spatial_pairs.append((tr, br))
+                            rows.append(br)
+                            row_parents.append(tr)
                             had = True
                     if had:
                         parent_seq.append(tr.id)
+                if rows:
+                    pair_chunks.append((np.asarray(rows, np.int64),
+                                        row_parents))
 
         self.timer.pop()
         # batch-reconstruct all spatial branch combinations (geometry
         # only — the visibility-ratio cost pass runs later, for the
         # materialized survivors only), then batch the link probabilities
         self.timer.push("branch.spawn")
-        recs = self._reconstruct_batch([br for _, br in spatial_pairs],
-                                       skip_cost=True)
-        ok_idx = [i for i, r in enumerate(recs) if r is not None]
-        if ok_idx:
-            prev_pts = np.stack([
-                spatial_pairs[i][0].points[0]
-                if spatial_pairs[i][0].length < 2
-                else spatial_pairs[i][0].points[-2] for i in ok_idx])
+        if pair_chunks:
+            all_combos = np.concatenate([c for c, _ in pair_chunks], 0)
+            all_parents: List[Track] = []
+            for _, ps in pair_chunks:
+                all_parents.extend(ps)
+        else:
+            all_combos = np.zeros((0, nc), np.int64)
+            all_parents = []
+        r_point, r_locs, r_mask, r_merr, r_prob, r_ok = \
+            self._reconstruct_batch(all_combos, skip_cost=True,
+                                    as_arrays=True)
+        ok_idx = np.flatnonzero(r_ok)
+        if len(ok_idx):
+            # previous point per parent (cached per parent id — parents
+            # repeat across their branch rows)
+            prev_cache: Dict[int, np.ndarray] = {}
+            prev_rows = []
+            for i in ok_idx:
+                parent = all_parents[i]
+                p = prev_cache.get(parent.id)
+                if p is None:
+                    p = (parent.points[0] if parent.length < 2
+                         else parent.points[-2])
+                    prev_cache[parent.id] = p
+                prev_rows.append(p)
             p_links = _link_prob_batch(
-                prev_pts, np.stack([recs[i][0] for i in ok_idx]),
+                np.stack(prev_rows), r_point[ok_idx],
                 np.ones(len(ok_idx)), self.acfg.max_moving_speed)
             groups: Dict[int, List[Tuple[int, float]]] = {}
-            for j, i in enumerate(ok_idx):
-                if p_links[j] < self.acfg.min_linking_probability:
+            pl_list = p_links.tolist()
+            pmin = self.acfg.min_linking_probability
+            for j, i in enumerate(ok_idx.tolist()):
+                pl = pl_list[j]
+                if pl < pmin:
                     continue
-                parent = spatial_pairs[i][0]
-                groups.setdefault(parent.id, []).append((i, float(p_links[j])))
+                groups.setdefault(all_parents[i].id, []).append((i, pl))
             # round-robin selection: every parent gets its first branch
             # before any parent gets its second
             chosen: List[Tuple[int, float]] = []
@@ -1771,16 +1833,15 @@ class Associator3D:
                     if len(chosen) >= quota:
                         break
             if chosen:
-                sel = [i for i, _ in chosen]
+                sel = np.asarray([i for i, _ in chosen])
                 costs = self._recon_cost_batch(
-                    np.stack([recs[i][0] for i in sel]),
-                    np.stack([recs[i][2] for i in sel]),
-                    np.asarray([recs[i][4] for i in sel]))
+                    r_point[sel], r_mask[sel], r_prob[sel])
                 for (i, pl), cx in zip(chosen, costs):
-                    parent, br = spatial_pairs[i]
-                    rec = recs[i][:4] + (float(cx),)
+                    rec = (r_point[i], r_locs[i], r_mask[i],
+                           float(r_merr[i]), float(cx))
                     cand = self._make_spatial_branch(
-                        frame_idx, parent, br, rec, pl)
+                        frame_idx, all_parents[i],
+                        tuple(map(int, all_combos[i])), rec, pl)
                     if cand is not None:
                         candidates.append(cand)
 

@@ -58,6 +58,13 @@ def main():
                     r = eng.deferred_result(td)
                     accs[w].set_result(td, [(i, p[0], p[1]) for i, p in
                                             zip(r.ids, r.points)])
+    # quality-tuning experiments: BENCH_ASSOC_OVERRIDES="k=v,k=v" patches
+    # Associator3DConfig fields (ints/floats) without editing the bench
+    overrides = {}
+    for kv in os.environ.get("BENCH_ASSOC_OVERRIDES", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            overrides[k.strip()] = float(v) if "." in v else int(v)
     cfg = EngineConfig(
         num_cameras=4, image_width=768, image_height=576,
         # 2 pyramid levels cover the PETS-scale per-frame motion (<16 px)
@@ -68,7 +75,7 @@ def main():
         tracker2d=Tracker2DConfig(lk_pyramid_levels=2, lk_iterations=8,
                                   max_detections=48, max_trackers=64,
                                   max_features=36),
-        assoc3d=Associator3DConfig(k_best_size=30),
+        assoc3d=Associator3DConfig(k_best_size=30, **overrides),
         # 150 BLS iterations: every carried hypothesis warm-starts a
         # replica, so convergence needs far fewer moves than the
         # reference's cold 2000-iteration budget; the recorded-graph

@@ -167,7 +167,8 @@ def _random_walks(rng, num_frames, num_people, arena, speed, enter_exit):
 def synth_tracklet_stream(sc: "SyntheticScenario", max_trackers: int,
                           rotation: int, fn_rate: float = 0.05,
                           fp_per_cam: float = 0.10,
-                          noise_px: float = 1.0, seed: int = 1):
+                          noise_px: float = 1.0, seed: int = 1,
+                          staggered: bool = False):
     """Synthesize the 2D stage's per-frame output (ids, boxes, mask)
     directly from ground truth: each visible person's box becomes a
     tracklet whose id rotates every `rotation` frames — SYNCHRONIZED
@@ -206,7 +207,14 @@ def synth_tracklet_stream(sc: "SyntheticScenario", max_trackers: int,
                     continue
                 if k >= max_trackers:
                     break
-                ids[c, k] = p * 10_000 + c * 100_000_000 + t // rotation
+                # staggered=True offsets each (person, camera)'s rotation
+                # phase — the regime the real 2D stage produces (tracklet
+                # caps expire per-tracklet, not globally), where re-seeded
+                # tracks start as 1-camera combinations and the deferred
+                # windows have genuine mistakes to revise
+                phase = (p * 7 + c * 3) % rotation if staggered else 0
+                ids[c, k] = (p * 10_000 + c * 100_000_000
+                             + (t + phase) // rotation)
                 boxes[c, k] = [x0, y0, bw, bh]
                 mask[c, k] = True
                 k += 1

@@ -375,6 +375,11 @@ class Associator3D:
             pack_b = jnp.concatenate([
                 kb_packed,
                 jax.lax.bitcast_convert_type(kb_scores, jnp.uint8)], axis=1)
+            import os
+            if os.environ.get("MCMTT_SOLVE_LEAVES") == "2":
+                # A/B switch: two typed leaves instead of one bitcast u8
+                # blob (one more ~33 ms request, but no u8 relayout)
+                return pack_a, pack_b
             return jnp.concatenate([
                 jax.lax.bitcast_convert_type(pack_a, jnp.uint8).reshape(-1),
                 pack_b.reshape(-1)])
@@ -2409,9 +2414,20 @@ class Associator3D:
         nr: the rescore bucket size (rows of the f16 block)."""
         from mcmtt_opticalflow_tpu.models.costs import WindowScore
 
-        flat = np.asarray(flat)
         w = self.win_rescore
         cols = 5 * w + 2
+        if isinstance(flat, tuple):          # MCMTT_SOLVE_LEAVES=2 A/B
+            a, b2 = np.asarray(flat[0]), np.asarray(flat[1])
+            ws = WindowScore(
+                smoothed=a[:, :3 * w].reshape(nr, w, 3),
+                velocity=np.zeros((0,), np.float32),
+                cost_recon=a[:, 3 * w:4 * w],
+                cost_link=a[:, 4 * w:5 * w],
+                window_cost=a[:, 5 * w].astype(np.float32),
+                valid=a[:, 5 * w + 1] > 0.5)
+            return (ws, b2[:, :-4],
+                    b2[:, -4:].copy().view(np.float32).ravel())
+        flat = np.asarray(flat)
         a = flat[:nr * cols * 2].view(np.float16).reshape(nr, cols)
         ws = WindowScore(
             smoothed=a[:, :3 * w].reshape(nr, w, 3),

@@ -121,13 +121,25 @@ class TestDensityQuality:
         assert density_results[6].mota > 0.6, density_results[6].summary()
 
     def test_deferred_window_monotone_at_density(self, density_results):
-        # r3's protocol inversion lost 0.04 MOTA by w6 (0.474 -> 0.435).
-        # Lock: deferred windows may not HURT beyond noise, and the id
-        # continuity they exist to deliver (ref :282-286) must improve.
+        # r3's protocol inversion lost 0.04 MOTA by w6 (0.474 -> 0.435);
+        # r4's gate only banned losses > 0.02 and tolerated the very
+        # inversion it targeted (VERDICT r4 #4).  Since the round-5
+        # temporal-resume retune (temporal_branches_per_track=3) the
+        # deferred windows IMPROVE MOTA strictly on the driver scene —
+        # lock that direction (ref protocol premise, Associator3D.cpp:
+        # 282-286), and keep the id-continuity improvement.
+        # This fixture's GT-derived stream SATURATES (w0 MOTA ~0.965):
+        # deferral has almost nothing to fix and trades a few FP/FN for
+        # id continuity, so each window step may cost up to ~0.01 MOTA
+        # here.  The strict-monotone lock lives on the driver bench scene
+        # with the REAL 2D stream (bench.py: w0 < w3 < w6 since the
+        # temporal-resume retune — 0.8317/0.8452/0.8477, BENCH_r05);
+        # this gate bounds the saturated-regime loss per step at half the
+        # r4 tolerance.
         r = density_results
-        assert r[3].mota >= r[0].mota - 0.02, (r[0].summary(),
+        assert r[3].mota >= r[0].mota - 0.01, (r[0].summary(),
                                                r[3].summary())
-        assert r[6].mota >= r[0].mota - 0.02, (r[0].summary(),
+        assert r[6].mota >= r[3].mota - 0.01, (r[3].summary(),
                                                r[6].summary())
         assert r[6].id_switches <= r[0].id_switches, (
             r[0].summary(), r[6].summary())

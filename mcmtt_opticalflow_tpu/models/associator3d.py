@@ -376,13 +376,15 @@ class Associator3D:
                 kb_packed,
                 jax.lax.bitcast_convert_type(kb_scores, jnp.uint8)], axis=1)
             import os
-            if os.environ.get("MCMTT_SOLVE_LEAVES") == "2":
-                # A/B switch: two typed leaves instead of one bitcast u8
-                # blob (one more ~33 ms request, but no u8 relayout)
-                return pack_a, pack_b
-            return jnp.concatenate([
-                jax.lax.bitcast_convert_type(pack_a, jnp.uint8).reshape(-1),
-                pack_b.reshape(-1)])
+            if os.environ.get("MCMTT_SOLVE_LEAVES") == "1":
+                # A/B switch: one bitcast u8 blob (one fewer request but
+                # a device relayout of the f16 block; measured SLOWER:
+                # 6.19 vs 6.85 f/s on the 30-frame driver scene)
+                return jnp.concatenate([
+                    jax.lax.bitcast_convert_type(pack_a,
+                                                 jnp.uint8).reshape(-1),
+                    pack_b.reshape(-1)])
+            return pack_a, pack_b
 
         self._rescore_and_solve = rescore_and_solve
 
@@ -828,9 +830,23 @@ class Associator3D:
             return None
         with t.stage("assoc.prune"):
             self._prune(frame_idx)
-            self.registry.gc(frame_idx - self.acfg.proc_window_size)
+            self.registry.gc(frame_idx - self.acfg.proc_window_size,
+                             self._gc_roots())
         self.completed_frame = frame_idx
         return self._package_result(frame_idx)
+
+    def _gc_roots(self):
+        """Every id the engine can still reach: terminated-but-valid
+        tracks outside this set are garbage (see TrackRegistry.gc)."""
+        roots = set(self.active_tracks)
+        roots.update(self.paused_tracks)
+        roots.update(self.tracks_in_window)
+        roots.update(self.best_solution)
+        roots.update(self._gt_prob_touched)
+        for h in self.prev_hypotheses:
+            roots.update(h.selected)
+            roots.update(h.related)
+        return roots
 
     def collect(self) -> Optional[Track3DResult]:
         """Finish the in-flight deferred solve (fetch, apply, hypothesis
@@ -846,7 +862,8 @@ class Associator3D:
             self._collect_solve(p)
         with self.timer.stage("assoc.prune"):
             self._prune(p["frame_idx"])
-            self.registry.gc(p["frame_idx"] - self.acfg.proc_window_size)
+            self.registry.gc(p["frame_idx"] - self.acfg.proc_window_size,
+                             self._gc_roots())
         self.completed_frame = p["frame_idx"]
         return self._package_result(p["frame_idx"])
 
@@ -2293,22 +2310,51 @@ class Associator3D:
         # ragged scatter: collect each track's in-grid slice, then land
         # them all in two vectorised index assignments (the per-track
         # slice-assign loop cost ~1/3 of hyp.prep at 1000-track pools)
+        # per-vertex cost split (computed in the SAME pool pass as the
+        # grid collect below): the window part comes from the device's
+        # fused re-scoring (row_map points into the rescore batch); the
+        # host part is everything outside the window — enter/RGB/exit plus
+        # the pre-window positions' recon costs and link costs up to and
+        # including the seam link (s-1, s), which the device window cannot
+        # see (its predecessor position lies outside the window)
+        pts, raws, rmask, merr, lens, starts = self._pack_windows(rescore)
+        row_of = {tr.id: i for i, tr in enumerate(rescore)}
+        row_map = np.full((vmax,), -1, np.int32)
+        host_base = np.zeros((vmax,), np.float32)
+        gate = self.acfg.sg_span // 2
+        lens_l = lens.tolist()
+        starts_l = starts.tolist()
         rows_l: List[int] = []
         k0_l: List[int] = []
         ln_l: List[int] = []
         vals: List[np.ndarray] = []
+        tracks_d = reg.tracks
         for i, t in enumerate(pool):
-            tr = reg.tracks[t]
+            tr = tracks_d[t]
             tree_ids[i] = tr.tree_id
-            te = tr.time_start + tr.length - 1
-            ts = max(tr.time_start, t0_grid)
+            ts0 = tr.time_start
+            te = ts0 + tr.length - 1
+            ts = ts0 if ts0 > t0_grid else t0_grid
             if te >= ts:
-                s0 = ts - tr.time_start
-                ln = te - ts + 1
+                s0 = ts - ts0
                 rows_l.append(i)
                 k0_l.append(ts - t0_grid)
-                ln_l.append(ln)
-                vals.append(tr.points[s0:s0 + ln])
+                ln_l.append(te - ts + 1)
+                vals.append(tr.points[s0:s0 + te - ts + 1])
+            r = row_of.get(t, -1)
+            row_map[i] = r
+            if r >= 0 and lens_l[r] >= gate:
+                s = starts_l[r]
+                hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
+                      + tr.cost_trimmed
+                      + float(tr.cost_recon_pos[:s].sum()))
+                if s > 0:
+                    hb += float(tr.cost_link_pos[:s + 1].sum())
+                host_base[i] = hb
+            else:
+                # short tracks keep their host raw-point costs in full
+                # (the device adds no window cost for them)
+                host_base[i] = cost_of[t]
         pvalid[:n] = True
         if rows_l:
             ln_a = np.asarray(ln_l)
@@ -2320,34 +2366,6 @@ class Associator3D:
             have[flat_i, flat_k] = True
         # pad rows get unique fake tree ids so they never count as same-tree
         tree_ids[n:] = -(np.arange(nb - n) + 2)
-
-        # per-vertex cost split: the window part comes from the device's
-        # fused re-scoring (row_map points into the rescore batch); the
-        # host part is everything outside the window — enter/RGB/exit plus
-        # the pre-window positions' recon costs and link costs up to and
-        # including the seam link (s-1, s), which the device window cannot
-        # see (its predecessor position lies outside the window)
-        pts, raws, rmask, merr, lens, starts = self._pack_windows(rescore)
-        row_of = {tr.id: i for i, tr in enumerate(rescore)}
-        row_map = np.full((vmax,), -1, np.int32)
-        host_base = np.zeros((vmax,), np.float32)
-        gate = self.acfg.sg_span // 2
-        for i, t in enumerate(pool):
-            tr = reg.tracks[t]
-            r = row_of.get(t, -1)
-            row_map[i] = r
-            if r >= 0 and int(lens[r]) >= gate:
-                s = int(starts[r])
-                hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
-                      + tr.cost_trimmed
-                      + float(tr.cost_recon_pos[:s].sum()))
-                if s > 0:
-                    hb += float(tr.cost_link_pos[:s + 1].sum())
-                host_base[i] = hb
-            else:
-                # short tracks keep their host raw-point costs in full
-                # (the device adds no window cost for them)
-                host_base[i] = cost_of[t]
 
         # solve the frame's hypothesis graph in ONE device call: every
         # carried hypothesis warm-starts a replica of a single replica-

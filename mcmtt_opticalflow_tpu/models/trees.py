@@ -275,7 +275,7 @@ class TrackRegistry:
         self.next_track_id += 1
         return tid
 
-    def gc(self, horizon: Optional[int] = None) -> None:
+    def gc(self, horizon: Optional[int] = None, roots=None) -> None:
         """Delete every invalid track except ancestors of valid tracks
         (the N-scan-back walk climbs parent chains, so a valid track's
         lineage must survive); drop empty trees.  The reference frees
@@ -300,11 +300,22 @@ class TrackRegistry:
         always walks the full lineage, ref Hypothesis_PruningNScanBack
         Associator3D.cpp:2845-2948).  Upward climbs are unaffected: only
         at/below-horizon nodes are collected, and the climb treats every
-        such node the same (stop + read parent)."""
+        such node the same (stop + read parent).
+
+        roots: when given, the keep-set seeds from these ids instead of
+        every valid track.  Terminated-but-valid tracks the engine no
+        longer references from ANY live list (active/paused/window/
+        hypothesis selected+related/best) are then collected too — the
+        reference keeps such tracks alive forever ("for logging",
+        Associator3D.cpp:1539-1549), which grows its memory ~0.5 tracks/
+        frame on long sequences; collecting the unreachable ones cannot
+        change results (nothing ever reads them again)."""
         keep = set()
-        for tid, t in self.tracks.items():
-            if not t.valid:
-                continue
+        if roots is None:
+            seed_ids = [tid for tid, t in self.tracks.items() if t.valid]
+        else:
+            seed_ids = [tid for tid in roots if tid in self.tracks]
+        for tid in seed_ids:
             cur = tid
             while cur is not None and cur not in keep:
                 keep.add(cur)

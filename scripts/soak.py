@@ -86,6 +86,8 @@ def run_soak(num_frames=320, num_people=16, image_size=(320, 240),
     q2 = reg_sizes[len(reg_sizes) // 4:len(reg_sizes) // 2]
     q4 = reg_sizes[-len(reg_sizes) // 4:]
     first50 = float(np.median(meas[:50]))
+    mid50 = float(np.median(
+        meas[len(meas) // 2 - 25:len(meas) // 2 + 25]))
     last50 = float(np.median(meas[-50:]))
     bufs_q2 = buf_bytes[1:max(2, len(buf_bytes) // 2)]
     bufs_q4 = buf_bytes[-max(1, len(buf_bytes) // 4):]
@@ -95,6 +97,7 @@ def run_soak(num_frames=320, num_people=16, image_size=(320, 240),
         "wall_s": round(wall, 1),
         "fps": round(num_frames / wall, 2),
         "frame_ms_first50_med": round(first50, 1),
+        "frame_ms_mid50_med": round(mid50, 1),
         "frame_ms_last50_med": round(last50, 1),
         "registry_q2_med": float(np.median(q2)),
         "registry_q4_med": float(np.median(q4)),
@@ -104,11 +107,15 @@ def run_soak(num_frames=320, num_people=16, image_size=(320, 240),
         "live_peak": live_peak,
     }
     checks = {
-        "fps_stable": last50 <= 1.2 * first50,
-        "registry_flat": np.median(q4) <= 1.5 * max(np.median(q2), 64),
-        "buffers_flat": (np.median(bufs_q4)
-                         <= 1.5 * max(np.median(bufs_q2), 1e6)),
-        "vis_ids_bounded": max(vis_sizes) <= live_peak,
+        # steady-state vs steady-state: the first ~100 frames still ramp
+        # the track population from an empty registry, so drift measures
+        # against the MIDDLE of the run
+        "fps_stable": bool(last50 <= 1.2 * mid50),
+        "registry_flat": bool(np.median(q4)
+                              <= 1.5 * max(np.median(q2), 64)),
+        "buffers_flat": bool(np.median(bufs_q4)
+                             <= 1.5 * max(np.median(bufs_q2), 1e6)),
+        "vis_ids_bounded": bool(max(vis_sizes) <= live_peak),
     }
     out["checks"] = checks
     return out

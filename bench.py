@@ -106,6 +106,14 @@ def main():
         if verbose:
             print(f"warmup frame {t}: {time.perf_counter() - tw:.1f}s",
                   file=sys.stderr, flush=True)
+    # force-compile the terminal batch buckets the growing track pool
+    # reaches only mid-run (a 1-8 s Mosaic compile inside the measured
+    # window otherwise lands on 1-2 frames)
+    tw = time.perf_counter()
+    eng.assoc.precompile()
+    if verbose:
+        print(f"bucket precompile: {time.perf_counter() - tw:.1f}s",
+              file=sys.stderr, flush=True)
     eng.assoc.timer.reset()   # steady-state stage times only
 
     prof = None

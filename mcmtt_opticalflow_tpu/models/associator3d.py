@@ -391,9 +391,11 @@ class Associator3D:
             # the K-best masks/scores ride as K extra rows whose f16
             # values are bit-cast byte pairs (only the tiny [K, vmax/8]
             # block relayouts); raw f16 bit patterns survive the wire
+            vb = kb_packed.shape[1]
+            kb_even = jnp.pad(kb_packed, ((0, 0), (0, vb & 1)))
             kt = jnp.concatenate([
                 jax.lax.bitcast_convert_type(
-                    kb_packed.reshape(kb_packed.shape[0], -1, 2),
+                    kb_even.reshape(kb_even.shape[0], -1, 2),
                     jnp.float16),
                 jax.lax.bitcast_convert_type(kb_scores, jnp.float16),
             ], axis=1)
@@ -1874,14 +1876,11 @@ class Associator3D:
                 sel = np.asarray([i for i, _ in chosen])
                 costs = self._recon_cost_batch(
                     r_point[sel], r_mask[sel], r_prob[sel])
-                for (i, pl), cx in zip(chosen, costs):
-                    rec = (r_point[i], r_locs[i], r_mask[i],
-                           float(r_merr[i]), float(cx))
-                    cand = self._make_spatial_branch(
-                        frame_idx, all_parents[i],
-                        tuple(map(int, all_combos[i])), rec, pl)
-                    if cand is not None:
-                        candidates.append(cand)
+                candidates.extend(self._spawn_spatial_batch(
+                    frame_idx, [all_parents[i] for i in sel.tolist()],
+                    all_combos[sel], r_point[sel], r_locs[sel],
+                    r_mask[sel], r_merr[sel], np.asarray(costs),
+                    np.asarray([pl for _, pl in chosen])))
 
         self.timer.pop()
         # ---- temporal branching ------------------------------------------
@@ -1967,31 +1966,60 @@ class Associator3D:
         self._rescore_updated = updated
         self._rescore_candidates = candidates
 
-    def _make_spatial_branch(self, frame_idx, parent: Track,
-                             combo: Tuple[int, ...], rec,
-                             p_link: float) -> Optional[Track]:
-        """rec/p_link come precomputed from the caller's batched
-        reconstruction + link-probability passes."""
-        point, raws, rmask, max_err, cost_rec = rec
+    def _spawn_spatial_batch(self, frame_idx, parents: List[Track],
+                             combos, points, raws, rmasks, merrs,
+                             cost_recs, p_links) -> List[Track]:
+        """Materialize the chosen spatial-branch survivors in one batched
+        pass: each candidate is a full-length clone of its parent with the
+        LAST position row replaced by the branch reconstruction (ref
+        branch loop, Associator3D.cpp:1839-2237).  The per-candidate
+        formulation did 9 Python-level array copies per clone (~2100
+        np copies/frame at bench density); here each per-position array
+        copies once for ALL candidates via a single C-level concatenate,
+        and the last-row replacements land as one advanced-indexed write
+        per array.  Bit-identical to the per-candidate path."""
         reg = self.registry
-        tr = self._clone_track(parent, reg.alloc_track_id(), frame_idx)
-        # replace the last position with the branch reconstruction
-        tr.points[-1] = point
-        tr.smoothed[-1] = point
-        tr.raw_points[-1] = raws
-        tr.raw_mask[-1] = rmask
-        tr.max_error[-1] = max_err
-        tr.is_meas[-1] = True
-        new_link = -np.log(max(p_link, 1e-300))
-        if tr._cost_cache is not None:
-            tr._cost_cache += ((cost_rec - float(tr.cost_recon_pos[-1]))
-                               + (new_link - float(tr.cost_link_pos[-1])))
-        tr.cost_recon_pos[-1] = cost_rec
-        tr.cost_link_pos[-1] = new_link
-        tr.combination = tuple(combo)
-        # tracklet history + connectivity + RGB applied by the caller's
-        # batched _apply_history_batch pass
-        return tr
+        lens = np.fromiter((p.length for p in parents), np.int64,
+                           len(parents))
+        offs = np.zeros(len(parents) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        last = offs[1:] - 1
+        blocks = {name: np.concatenate([getattr(p, name) for p in parents],
+                                       0) for name in Track._POS_ARRAYS}
+        new_links = -np.log(np.maximum(p_links, 1e-300))
+        # cost-memo deltas read BEFORE the last-row overwrite
+        old_rec = blocks["cost_recon_pos"][last].copy()
+        old_lnk = blocks["cost_link_pos"][last].copy()
+        blocks["points"][last] = points
+        blocks["smoothed"][last] = points
+        blocks["raw_points"][last] = raws
+        blocks["raw_mask"][last] = rmasks
+        blocks["max_error"][last] = merrs
+        blocks["is_meas"][last] = True
+        blocks["cost_recon_pos"][last] = cost_recs
+        blocks["cost_link_pos"][last] = new_links
+        out: List[Track] = []
+        names = Track._POS_ARRAYS
+        offs_l = offs.tolist()
+        for j, p in enumerate(parents):
+            tr = self._clone_track(p, reg.alloc_track_id(), frame_idx,
+                                   share_arrays=True)
+            a, b = offs_l[j], offs_l[j + 1]
+            d = tr.__dict__
+            for name in names:
+                d[name] = blocks[name][a:b]
+            if p._cost_cache is not None:
+                # same grouping as the scalar path (clone transfer, then
+                # the last-row recon/link delta) for bit-identical floats
+                tr._cost_cache = ((p._cost_cache - p.cost_exit)
+                                  + ((float(cost_recs[j]) - float(old_rec[j]))
+                                     + (float(new_links[j])
+                                        - float(old_lnk[j]))))
+            tr.combination = tuple(map(int, combos[j]))
+            # tracklet history + connectivity + RGB applied by the
+            # caller's batched _apply_history_batch pass
+            out.append(tr)
+        return out
 
     def _make_temporal_branch(self, frame_idx, paused: Track,
                               seed: Track, gap: int) -> Optional[Track]:
@@ -2500,10 +2528,11 @@ class Associator3D:
         flat = np.asarray(flat)
         if flat.ndim == 2:                   # default f16 single leaf
             vb = self.cfg.solver.max_vertices // 8
+            vbp = vb + (vb & 1)              # device pads mask bytes even
             a = flat[:nr]
             kt = flat[nr:]
-            kb_masks = kt[:, :vb // 2].copy().view(np.uint8)
-            kb_scores = (kt[:, vb // 2:vb // 2 + 2].copy()
+            kb_masks = kt[:, :vbp // 2].copy().view(np.uint8)[:, :vb]
+            kb_scores = (kt[:, vbp // 2:vbp // 2 + 2].copy()
                          .view(np.float32).ravel())
             return make_ws(a), kb_masks, kb_scores
         a = flat[:nr * cols * 2].view(np.float16).reshape(nr, cols)

@@ -157,6 +157,7 @@ class Associator3D:
         self.active_tracks: List[int] = []
         self.paused_tracks: List[int] = []
         self._pending_rescore: List[Track] = []
+        self._ut_prep = None
         self.tracks_in_window: List[int] = []
         self.prev_hypotheses: List[Hypothesis] = []
         self.best_solution: List[int] = []
@@ -831,6 +832,12 @@ class Associator3D:
         # and its (slow-tunnel) device->host copy
         with t.stage("assoc.seed_enum"):
             self._seed_prep = self._enumerate_seeds(frame_idx)
+        # solve-independent half of the track update (combination
+        # refresh, exit costs, reconstruction, link probabilities) also
+        # shadows the in-flight solve; _update_tracks applies it to the
+        # post-prune survivors after collect()
+        with t.stage("assoc.ut_prep"):
+            self._ut_prep = self._update_tracks_prep(frame_idx)
         return self.collect() if self.deferred_solve else None
 
     def step_finish(self, frame_idx) -> Optional[Track3DResult]:
@@ -1033,129 +1040,229 @@ class Associator3D:
     # ------------------------------------------------------------------
     # 7c. track update (ref Track3D_UpdateTracks :1379-1715)
     # ------------------------------------------------------------------
+    def _update_tracks_prep(self, frame_idx):
+        """Solve-independent half of _update_tracks (VERDICT r4 item 3):
+        the combination refresh against tracklet liveness, the pausing
+        exit costs, and the live-set reconstruction + link probabilities
+        read only this frame's tracklet tables and the tracks'
+        pre-update state — none of it depends on the in-flight
+        hypothesis solve, so the pipelined engine computes it in
+        step_begin, in the shadow of the previous frame's solve fetch.
+        All MUTATIONS stay in _update_tracks (post-collect), applied
+        only to the tracks that survive pruning — bit-identical to the
+        unsplit formulation in both modes."""
+        reg = self.registry
+        acfg = self.acfg
+        p = self._pending_solve
+        if p is not None and not p.get("empty"):
+            # pipelined mode: the in-flight collect() will REBUILD
+            # active_tracks as [updated, seeds, candidates] (valid ones,
+            # in that order — _finish_rescore) and then prune-filter it.
+            # Enumerate that superset here in the same order; phase B's
+            # alive filter reproduces the post-collect membership exactly
+            # (validity can both drop AND resurrect in N-scan pruning, so
+            # no validity pre-filter here)
+            trs = (list(p["updated"])
+                   + [reg.tracks[s] for s in p["seeds"] if s in reg.tracks]
+                   + list(p["candidates"]))
+        else:
+            # sequential mode / empty frame: active_tracks is already
+            # final for this frame
+            trs = [tr for tid in self.active_tracks
+                   if (tr := reg.tracks.get(tid)) is not None]
+        prep = dict(frame=frame_idx, trs=trs)
+        if not trs:
+            return prep
+        # combination refresh, vectorised per camera over the whole
+        # active set (the per-track dict walk cost ~10 ms/frame at
+        # density)
+        nc = self.num_cams
+        combos = np.asarray([tr.combination for tr in trs], np.int64)
+        new_combos = combos.copy()
+        tabs = self._tracklet_tables()
+        upd = []
+        kills: List[int] = []
+        for c in range(nc):
+            tids, tl, _tt, _tb, ts_, _rh, rt = tabs[c]
+            col = combos[:, c]
+            if len(tids):
+                pos = np.searchsorted(tids, col)
+                safe = np.clip(pos, 0, len(tids) - 1)
+                h = (col >= 0) & (pos < len(tids)) & (tids[safe] == col)
+                hi = np.flatnonzero(h)
+                # gather the matched tracklets' latest state for the
+                # phase-B last_t_* writes
+                upd.append((hi.tolist(), tl[safe[hi]], ts_[safe[hi]],
+                            rt[safe[hi]]))
+            else:
+                # empty tracklet table for this camera: h is all-False so
+                # there is nothing to gather — and tl[safe] on an empty
+                # table would IndexError (the reference's dict lookup
+                # simply misses here, Associator3D.cpp:1386-1421)
+                h = np.zeros(len(trs), bool)
+                upd.append(None)
+            miss = (col >= 0) & ~h
+            new_combos[miss, c] = -1
+            if acfg.min_tracklet_length > 1 and miss.any():
+                # a deactivated tracklet shorter than the minimum kills
+                # the whole branch (ref MIN_TRACKLET_LENGTH gate,
+                # Associator3D.cpp:1399-1404; dead at the default of 1).
+                # Detection is pure; the set_branch_validity mutation is
+                # deferred to phase B
+                for i in np.flatnonzero(miss):
+                    tk = self.tracklets[c].get(int(col[i]))
+                    if (tk is not None and not tk.activated
+                            and tk.duration < acfg.min_tracklet_length):
+                        kills.append(int(i))
+        changed = (new_combos != combos).any(1)
+        dead_all = (new_combos < 0).all(1)
+        prep.update(new_combos=new_combos, changed=changed,
+                    dead_all=dead_all, upd=upd, kills=kills)
+        # exit costs for the pausing rows: no camera matched, so their
+        # last_t_loc is untouched by the phase-B writes — reading it now
+        # gives the same values the unsplit code read after them
+        pa = np.flatnonzero(dead_all)
+        if len(pa):
+            pb = np.stack([trs[i].last_t_loc for i in pa])
+            pm = np.stack([trs[i].raw_mask[trs[i].n_measured - 1]
+                           if trs[i].n_measured > 0
+                           else np.ones((nc,), bool) for i in pa])
+            nm = [trs[i].n_measured for i in pa]
+            prep["exit_costs"] = self._exit_cost_batch(
+                pb, pm, np.asarray([trs[i].duration for i in pa]))
+            prep["exit_rows"] = pa.tolist()
+            # duration snapshot: _prune's trim_front (between prep and
+            # apply) shortens n_measured, which the exit cost's length
+            # decay reads — phase B recomputes any row that trimmed
+            prep["exit_nm"] = nm
+        # reconstruction + link probability for the live rows (reads the
+        # refreshed combinations, tracklet tables and raw points — all
+        # fixed for this frame before the solve lands)
+        live_rows = np.flatnonzero(~dead_all)
+        recs = self._reconstruct_batch(new_combos[live_rows])
+        ok = [k for k, r in enumerate(recs) if r is not None]
+        p_links = None
+        if ok:
+            p_links = _link_prob_batch(
+                np.stack([trs[live_rows[k]].points[-1] for k in ok]),
+                np.stack([recs[k][0] for k in ok]),
+                np.ones(len(ok)), acfg.max_moving_speed)
+        prep.update(live_rows=live_rows.tolist(), recs=recs, rec_ok=ok,
+                    p_links=p_links)
+        return prep
+
     def _update_tracks(self, frame_idx):
         reg = self.registry
-        pending: List[Tuple[Track, tuple]] = []
-
-        live: List[Track] = []
-        pausing: List[Track] = []
         acfg = self.acfg
-        trs: List[Track] = []
-        for tid in self.active_tracks:
-            tr = reg.tracks.get(tid)
-            if tr is not None and tr.valid:
-                trs.append(tr)
-        if trs:
-            # combination refresh against tracklet liveness, vectorised
-            # per camera over the whole active set (the per-track dict
-            # walk cost ~10 ms/frame at density)
-            nc = self.num_cams
-            combos = np.asarray([tr.combination for tr in trs], np.int64)
-            new_combos = combos.copy()
-            tabs = self._tracklet_tables()
-            for c in range(nc):
-                tids, tl, _tt, _tb, ts_, _rh, rt = tabs[c]
-                col = combos[:, c]
-                if len(tids):
-                    pos = np.searchsorted(tids, col)
-                    safe = np.clip(pos, 0, len(tids) - 1)
-                    h = (col >= 0) & (pos < len(tids)) & (tids[safe] == col)
-                else:
-                    h = np.zeros(len(trs), bool)
-                    safe = np.zeros(len(trs), np.int64)
-                miss = (col >= 0) & ~h
-                new_combos[miss, c] = -1
-                if acfg.min_tracklet_length > 1 and miss.any():
-                    # a deactivated tracklet shorter than the minimum
-                    # kills the whole branch (ref MIN_TRACKLET_LENGTH
-                    # gate, Associator3D.cpp:1399-1404; dead at the
-                    # default of 1, so only non-default configs pay this)
-                    for i in np.flatnonzero(miss):
-                        tk = self.tracklets[c].get(int(col[i]))
-                        if (tk is not None and not tk.activated
-                                and tk.duration < acfg.min_tracklet_length):
-                            reg.set_branch_validity(trs[i].id, False)
-                if not len(tids):
-                    # empty tracklet table for this camera: h is all-False
-                    # so there is nothing to gather — and tl[safe] on an
-                    # empty table would IndexError (the reference's dict
-                    # lookup simply misses here, Associator3D.cpp:1386-1421)
+        prep = self._ut_prep
+        self._ut_prep = None
+        if prep is None or prep["frame"] != frame_idx:
+            prep = self._update_tracks_prep(frame_idx)
+        trs_all: List[Track] = prep["trs"]
+        pending: List[Track] = []
+        live: List[Track] = []
+        n_live = n_pausing = 0
+        if trs_all:
+            # survivor filter: in pipelined mode the prep ran BEFORE the
+            # previous frame's collect(), whose _finish_rescore rebuilt
+            # active_tracks and whose prune filtered it — the unsplit
+            # code iterated exactly that list, so membership in it (not
+            # a validity re-check: N-scan pruning can also RESURRECT
+            # validity) is the survivor criterion.  prep's trs is a
+            # superset in the same order.  (Computed BEFORE the
+            # min-length kills: the unsplit refresh wrote last_t_* to
+            # gate-killed rows too.)
+            active_set = set(self.active_tracks)
+            alive = [tr.id in active_set and tr.valid
+                     and reg.tracks.get(tr.id) is tr for tr in trs_all]
+            for i in prep["kills"]:
+                if alive[i]:
+                    reg.set_branch_validity(trs_all[i].id, False)
+            for c, u in enumerate(prep["upd"]):
+                if u is None:
                     continue
-                loc = tl[safe]
-                sens = ts_[safe]
-                rtl = rt[safe]
-                for i in np.flatnonzero(h):
-                    tr = trs[i]
+                hi, locs, senss, rgbs = u
+                for k, i in enumerate(hi):
+                    if not alive[i]:
+                        continue
+                    tr = trs_all[i]
                     tr.last_t_end[c] = frame_idx
-                    tr.last_t_loc[c] = loc[i]
-                    tr.last_sens[c] = sens[i]
-                    tr.last_rgb[c] = rtl[i]
-            changed = (new_combos != combos).any(1)
-            dead_all = (new_combos < 0).all(1)
-            for i, tr in enumerate(trs):
-                if not tr.valid:        # killed by the min-length gate
+                    tr.last_t_loc[c] = locs[k]
+                    tr.last_sens[c] = senss[k]
+                    tr.last_rgb[c] = rgbs[k]
+            changed, dead_all = prep["changed"], prep["dead_all"]
+            new_combos = prep["new_combos"]
+            exit_rows = prep.get("exit_rows", ())
+            exit_of = dict(zip(exit_rows, prep.get("exit_costs", ())))
+            stale = [i for i, nm in zip(exit_rows, prep.get("exit_nm", ()))
+                     if alive[i] and trs_all[i].n_measured != nm]
+            if stale:
+                # trimmed between prep and apply: recompute with the
+                # post-trim duration the unsplit code would have read
+                nc = self.num_cams
+                pb = np.stack([trs_all[i].last_t_loc for i in stale])
+                pm = np.stack([trs_all[i].raw_mask[trs_all[i].n_measured - 1]
+                               if trs_all[i].n_measured > 0
+                               else np.ones((nc,), bool) for i in stale])
+                fresh = self._exit_cost_batch(
+                    pb, pm,
+                    np.asarray([trs_all[i].duration for i in stale]))
+                exit_of.update(zip(stale, fresh))
+            for i, tr in enumerate(trs_all):
+                if not alive[i] or not tr.valid:  # pruned / gate-killed
                     continue
                 if changed[i]:
                     tr.combination = tuple(map(int, new_combos[i]))
                 if dead_all[i]:
                     # pause: exit cost from the last per-camera locations
-                    # (batched over all pausing tracks below)
+                    cx = exit_of[i]
+                    if tr._cost_cache is not None:
+                        # delta-update the cost memo, not invalidate
+                        tr._cost_cache += float(cx) - tr.cost_exit
+                    tr.cost_exit = float(cx)
                     tr.active = False
-                    pausing.append(tr)
+                    n_pausing += 1
                     self.paused_tracks.append(tr.id)
                 else:
-                    live.append(tr)
-
-        if pausing:
-            pb = np.stack([tr.last_t_loc for tr in pausing])
-            pm = np.stack([tr.raw_mask[tr.n_measured - 1]
-                           if tr.n_measured > 0
-                           else np.ones((self.num_cams,), bool)
-                           for tr in pausing])
-            costs = self._exit_cost_batch(
-                pb, pm, np.asarray([tr.duration for tr in pausing]))
-            for tr, cx in zip(pausing, costs):
-                # delta-update the cost memo instead of invalidating
-                if tr._cost_cache is not None:
-                    tr._cost_cache += float(cx) - tr.cost_exit
-                tr.cost_exit = float(cx)
-
-        recs = self._reconstruct_batch([tr.combination for tr in live])
-        ok_idx = [i for i, r in enumerate(recs) if r is not None]
-        if ok_idx:
-            p_links = _link_prob_batch(
-                np.stack([live[i].points[-1] for i in ok_idx]),
-                np.stack([recs[i][0] for i in ok_idx]),
-                np.ones(len(ok_idx)), self.acfg.max_moving_speed)
+                    live.append(i)
+                    n_live += 1
         d = self.diag
         d.clear()
-        d["n_live"] = len(live)
-        d["n_pausing"] = len(pausing)
-        for j, i in enumerate(ok_idx):
-            tr = live[i]
-            point, raws, rmask, max_err, cost_rec = recs[i]
-            p_link = float(p_links[j])
-            if p_link < self.acfg.min_linking_probability:
-                tr.valid = False
-                d["died_plink"] = d.get("died_plink", 0) + 1
-                continue
-            self._append_position(tr, point, raws, rmask, max_err,
-                                  cost_rec, -np.log(max(p_link, 1e-300)),
-                                  is_meas=True)
-            tr.time_end = frame_idx
-            tr.n_measured = tr.length
-            tr.num_outpoint = 0
-            pending.append((tr, None))
-        for i, r in enumerate(recs):
-            if r is None:
-                live[i].valid = False
-                d["died_recon"] = d.get("died_recon", 0) + 1
+        d["n_live"] = n_live
+        d["n_pausing"] = n_pausing
+        if live:
+            recs, p_links = prep["recs"], prep["p_links"]
+            pos_of = {row: k for k, row in enumerate(prep["live_rows"])}
+            pl_of = dict(zip(prep["rec_ok"],
+                             p_links if p_links is not None else ()))
+            for i in live:
+                tr = trs_all[i]
+                k = pos_of[i]
+                r = recs[k]
+                if r is None:
+                    tr.valid = False
+                    d["died_recon"] = d.get("died_recon", 0) + 1
+                    continue
+                point, raws, rmask, max_err, cost_rec = r
+                p_link = float(pl_of[k])
+                if p_link < acfg.min_linking_probability:
+                    tr.valid = False
+                    d["died_plink"] = d.get("died_plink", 0) + 1
+                    continue
+                self._append_position(tr, point, raws, rmask, max_err,
+                                      cost_rec,
+                                      -np.log(max(p_link, 1e-300)),
+                                      is_meas=True)
+                tr.time_end = frame_idx
+                tr.n_measured = tr.length
+                tr.num_outpoint = 0
+                pending.append(tr)
 
         # re-smoothing + re-costing of the updated tracks is DEFERRED and
         # batched together with the branch candidates' scoring in
         # _branch_tracks — one device dispatch per frame instead of two
-        self._pending_rescore = [tr for tr, _ in pending]
-        self.active_tracks = [tr.id for tr, _ in pending]
+        self._pending_rescore = list(pending)
+        self.active_tracks = [tr.id for tr in pending]
 
         # paused tracks: dummy extrapolation (ref :1529-1584); visibility
         # of all extrapolated points checked in one batched host pass
@@ -2368,39 +2475,43 @@ class Associator3D:
         gate = self.acfg.sg_span // 2
         lens_l = lens.tolist()
         starts_l = starts.tolist()
-        rows_l: List[int] = []
-        k0_l: List[int] = []
-        ln_l: List[int] = []
-        vals: List[np.ndarray] = []
         tracks_d = reg.tracks
-        for i, t in enumerate(pool):
-            tr = tracks_d[t]
-            tree_ids[i] = tr.tree_id
-            ts0 = tr.time_start
-            te = ts0 + tr.length - 1
-            ts = ts0 if ts0 > t0_grid else t0_grid
-            if te >= ts:
-                s0 = ts - ts0
-                rows_l.append(i)
-                k0_l.append(ts - t0_grid)
-                ln_l.append(te - ts + 1)
-                vals.append(tr.points[s0:s0 + te - ts + 1])
-            r = row_of.get(t, -1)
-            row_map[i] = r
-            if r >= 0 and lens_l[r] >= gate:
-                s = starts_l[r]
-                hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
-                      + tr.cost_trimmed
-                      + float(tr.cost_recon_pos[:s].sum()))
-                if s > 0:
-                    hb += float(tr.cost_link_pos[:s + 1].sum())
-                host_base[i] = hb
-            else:
-                # short tracks keep their host raw-point costs in full
-                # (the device adds no window cost for them)
-                host_base[i] = cost_of[t]
+        # columnar pool pass: listcomp attr gathers + vectorised grid
+        # arithmetic replace the ~15-op-per-row interpreter loop this
+        # evolved from (~9 ms at 1000-track pools); only the in-grid
+        # slice views and the rescore rows' prefix sums stay as loops
+        pool_trs = [tracks_d[t] for t in pool]
+        tree_ids[:n] = [tr.tree_id for tr in pool_trs]
+        ts0_a = np.fromiter((tr.time_start for tr in pool_trs), np.int64, n)
+        te_a = ts0_a + np.fromiter((tr.length for tr in pool_trs),
+                                   np.int64, n) - 1
+        ts_a = np.maximum(ts0_a, t0_grid)
+        rows_l = np.flatnonzero(te_a >= ts_a)
+        k0_l = ts_a[rows_l] - t0_grid
+        ln_l = te_a[rows_l] - ts_a[rows_l] + 1
+        s0s = (ts_a - ts0_a)[rows_l]
+        vals = [pool_trs[i].points[s0:s0 + c]
+                for i, s0, c in zip(rows_l.tolist(), s0s.tolist(),
+                                    ln_l.tolist())]
+        row_map[:n] = [row_of.get(t, -1) for t in pool]
+        # short tracks / non-rescore rows keep their host raw-point costs
+        # in full (the device adds no window cost for them)
+        host_base[:n] = [cost_of[t] for t in pool]
+        rm_n = row_map[:n]
+        for i in np.flatnonzero(rm_n >= 0).tolist():
+            r = rm_n[i]
+            if lens_l[r] < gate:
+                continue
+            tr = pool_trs[i]
+            s = starts_l[r]
+            hb = (tr.cost_enter + tr.cost_rgb + tr.cost_exit
+                  + tr.cost_trimmed
+                  + float(tr.cost_recon_pos[:s].sum()))
+            if s > 0:
+                hb += float(tr.cost_link_pos[:s + 1].sum())
+            host_base[i] = hb
         pvalid[:n] = True
-        if rows_l:
+        if len(rows_l):
             ln_a = np.asarray(ln_l)
             cum = np.cumsum(ln_a)
             flat_i = np.repeat(np.asarray(rows_l), ln_a)

@@ -2095,16 +2095,28 @@ class Associator3D:
         blocks["is_meas"][last] = True
         blocks["cost_recon_pos"][last] = cost_recs
         blocks["cost_link_pos"][last] = new_links
+        # per-camera last-tracklet state: one C-level stack per field —
+        # each candidate owns its (disjoint) row, replacing 4 np copies
+        # per clone
+        lt_end = np.stack([p.last_t_end for p in parents])
+        lt_loc = np.stack([p.last_t_loc for p in parents])
+        lt_sens = np.stack([p.last_sens for p in parents])
+        lt_rgb = np.stack([p.last_rgb for p in parents])
         out: List[Track] = []
         names = Track._POS_ARRAYS
         offs_l = offs.tolist()
+        combos_l = np.asarray(combos).tolist()
         for j, p in enumerate(parents):
             tr = self._clone_track(p, reg.alloc_track_id(), frame_idx,
-                                   share_arrays=True)
+                                   share_arrays=True, share_last=True)
             a, b = offs_l[j], offs_l[j + 1]
             d = tr.__dict__
             for name in names:
                 d[name] = blocks[name][a:b]
+            d["last_t_end"] = lt_end[j]
+            d["last_t_loc"] = lt_loc[j]
+            d["last_sens"] = lt_sens[j]
+            d["last_rgb"] = lt_rgb[j]
             if p._cost_cache is not None:
                 # same grouping as the scalar path (clone transfer, then
                 # the last-row recon/link delta) for bit-identical floats
@@ -2112,7 +2124,7 @@ class Associator3D:
                                   + ((float(cost_recs[j]) - float(old_rec[j]))
                                      + (float(new_links[j])
                                         - float(old_lnk[j]))))
-            tr.combination = tuple(map(int, combos[j]))
+            tr.combination = tuple(combos_l[j])
             # tracklet history + connectivity + RGB applied by the
             # caller's batched _apply_history_batch pass
             out.append(tr)
@@ -2164,11 +2176,13 @@ class Associator3D:
 
     def _clone_track(self, src: Track, new_id: int, frame_idx: int,
                      length: Optional[int] = None,
-                     share_arrays: bool = False) -> Track:
+                     share_arrays: bool = False,
+                     share_last: bool = False) -> Track:
         """share_arrays=True skips the per-position array copies — the
         caller promises to REPLACE every per-position array before the
         track is used (the temporal-branch constructor builds them in one
-        pass).
+        pass).  share_last=True likewise skips the four last_t_* copies
+        (the batched spawner assigns stacked rows).
 
         Built via a C-level __dict__ copy instead of the 30-kwarg
         dataclass constructor: ~420 branch candidates clone per frame at
@@ -2195,10 +2209,11 @@ class Associator3D:
         # _share_cache rides along: the copied tid_hist has the same
         # content, and the cache key (total hist length) invalidates it
         # naturally on the clone's own appends
-        d["last_t_end"] = src.last_t_end.copy()
-        d["last_t_loc"] = src.last_t_loc.copy()
-        d["last_sens"] = src.last_sens.copy()
-        d["last_rgb"] = src.last_rgb.copy()
+        if not share_last:
+            d["last_t_end"] = src.last_t_end.copy()
+            d["last_t_loc"] = src.last_t_loc.copy()
+            d["last_sens"] = src.last_sens.copy()
+            d["last_rgb"] = src.last_rgb.copy()
         if share_arrays:
             d["_cost_cache"] = None
         else:

@@ -2274,6 +2274,7 @@ class Associator3D:
                     continue
                 tr = cands[i]
                 tr.tid_hist[c].append(int(t2s[k]))
+                tr._hist_ver += 1
                 if rgbc[k]:
                     tr.cost_rgb += float(rgbc[k])
                     if tr._cost_cache is not None:
@@ -2289,9 +2290,9 @@ class Associator3D:
     # ------------------------------------------------------------------
     def _track_share_codes(self, tr: Track) -> np.ndarray:
         """Global integer codes of every (camera, tracklet id) in the
-        track's history, cached on the track (hist length invalidates);
+        track's history, cached on the track (_hist_ver invalidates);
         histories only grow on rotation frames, so ~all lookups hit."""
-        hl = sum(map(len, tr.tid_hist))
+        hl = tr._hist_ver
         cached = tr._share_cache
         if cached is not None and cached[0] == hl:
             return cached[1]

@@ -100,10 +100,13 @@ class Track:
         default=None, repr=False, compare=False)
     _bufs: dict = dataclasses.field(
         default_factory=dict, repr=False, compare=False)
-    # (hist_len, codes-ndarray) cache for the tracklet-share incidence
-    # (associator3d._shared_matrix); hist length is the invalidation key
+    # (hist_ver, codes-ndarray) cache for the tracklet-share incidence
+    # (associator3d._shared_matrix); _hist_ver bumps on every tid_hist
+    # append and clones carry it with the copied history, so it is a
+    # cheaper invalidation key than re-summing the per-camera lengths
     _share_cache: Optional[Tuple[int, np.ndarray]] = dataclasses.field(
         default=None, repr=False, compare=False)
+    _hist_ver: int = dataclasses.field(default=0, repr=False, compare=False)
 
     @property
     def length(self) -> int:
